@@ -1,0 +1,176 @@
+"""The Track2D engine: reset / step / auto-reset pool.
+
+API parity map (reference -> here):
+  * ``gym.make(id)``                 -> ``make_env(env_id)`` / ``TrackEnv(cfg)``
+  * ``env.reset()``                  -> ``env.reset(key)`` (explicit PRNG)
+  * ``env.step([a0, a1])``           -> ``env.step(state, actions)``
+  * 72 registered ids               -> ``config.env_ids()`` + ``parse_env_id``
+  * gym ``TimeLimit(500)``          -> folded into ``step`` (``done`` at
+                                        ``max_episode_steps``, track_1v1 cap
+                                        is applied by the gym registry,
+                                        gym_track2d/__init__.py:17)
+
+Vectorization: ``reset``/``step`` are single-row functions; ``TrackEnv``
+exposes vmapped batch variants plus the reset-pool machinery that amortizes
+expensive episode initialization (map generation, spawn sampling, opponent
+tape compilation) into one batched computation per learner iteration instead
+of per-row work under ``lax.cond`` (SURVEY.md §7 "Auto-reset ... inside jit").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from active_tracking_rl_tpu.config import EnvConfig, parse_env_id
+from active_tracking_rl_tpu.envs import maps, observe as observe_mod
+from active_tracking_rl_tpu.envs.opponents import DELTAS, build_tape
+from active_tracking_rl_tpu.envs.types import EnvState, info_dict
+
+
+def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, jax.Array]:
+    """Fresh episode: new map + spawns + scripted tape (track_1v1.py:134-168).
+
+    The map is regenerated on every reset (track_1v1.py:136).
+    """
+    k_map, k_spawn, k_tape = jax.random.split(key, 3)
+    maze = maps.generate_map(cfg, k_map)
+    patrol = None
+    if cfg.target_mode == "RPF":
+        patrol = maps.patrol_goals(cfg)
+        maze = maps.carve_patrol(maze, patrol)
+    pos, goals = maps.sample_spawns(cfg, k_spawn, maze, patrol)
+    tape = build_tape(cfg, k_tape, maze, pos[1], goals[1])
+    maze_padded = jnp.pad(maze, cfg.pob_size, constant_values=1)
+    state = EnvState(
+        maze=maze_padded,
+        pos=pos,
+        tape=tape,
+        t=jnp.int32(0),
+        c_far=jnp.int32(0),
+        done=jnp.bool_(False),
+        c_reward=jnp.zeros((cfg.num_agents,), jnp.float32),
+        c_collision=jnp.zeros((cfg.num_agents,), jnp.int32),
+        dist=jnp.sum(jnp.abs(pos[0] - pos[1])).astype(jnp.float32),
+    )
+    return state, observe_mod.observe(cfg, state.maze, state.pos)
+
+
+def step(cfg: EnvConfig, state: EnvState,
+         actions: jax.Array) -> Tuple[EnvState, jax.Array, jax.Array,
+                                      jax.Array, dict]:
+    """One transition (track_1v1.py:71-127) + TimeLimit.
+
+    actions: (num_agents,) int32. For scripted modes the target action is
+    overridden by the tape (track_1v1.py:80-84). Returns
+    (state', obs (2,H,W) uint8, rewards (2,) f32, done bool, info).
+    """
+    p = cfg.pob_size
+    a0 = actions[0]
+    a1 = jnp.where(jnp.bool_(cfg.scripted),
+                   state.tape[state.t].astype(jnp.int32), actions[1])
+    acts = jnp.stack([a0, a1])
+
+    # move agents; wall -> stay + collision flag (track_1v1.py:271-285)
+    nxt = state.pos + DELTAS[acts]
+    hit = state.maze[nxt[:, 0] + p, nxt[:, 1] + p] == 1
+    pos = jnp.where(hit[:, None], state.pos, nxt)
+
+    # rewards (track_1v1.py:94-104); w_p set at reset (track_1v1.py:146-152)
+    d = jnp.sqrt(jnp.sum((pos[1] - pos[0]).astype(jnp.float32) ** 2))
+    max_d = jnp.float32(p)
+    r0 = jnp.maximum(1.0 - 2.0 * d / max_d, -1.0)
+    r1 = jnp.maximum(-r0 - cfg.w_p * jnp.maximum(d - max_d, 0.0) / max_d, -1.0)
+    rewards = jnp.stack([r0, r1])
+
+    # termination: lost for 11 consecutive steps (track_1v1.py:106-111)
+    c_far = jnp.where(d <= max_d, 0, state.c_far + 1)
+    t = state.t + 1
+    done = (c_far > 10) | (t >= cfg.max_episode_steps)
+
+    new_state = EnvState(
+        maze=state.maze,
+        pos=pos,
+        tape=state.tape,
+        t=t,
+        c_far=c_far,
+        done=done,
+        c_reward=state.c_reward + rewards,
+        c_collision=state.c_collision + hit.astype(jnp.int32),
+        dist=d,
+    )
+    obs = observe_mod.observe(cfg, new_state.maze, new_state.pos)
+    return new_state, obs, rewards, done, info_dict(new_state)
+
+
+class TrackEnv:
+    """Functional env bound to one EnvConfig. Stateless; all methods pure."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        self._reset_one = partial(reset, cfg)
+        self._step_one = partial(step, cfg)
+
+    # --- single row ---
+    def reset(self, key: jax.Array) -> Tuple[EnvState, jax.Array]:
+        return self._reset_one(key)
+
+    def step(self, state: EnvState, actions: jax.Array):
+        return self._step_one(state, actions)
+
+    # --- batched ---
+    def reset_batch(self, key: jax.Array, n: int) -> Tuple[EnvState, jax.Array]:
+        keys = jax.random.split(key, n)
+        return jax.vmap(self._reset_one)(keys)
+
+    def step_batch(self, state: EnvState, actions: jax.Array):
+        """state: EnvState[B]; actions: (B, num_agents) int32."""
+        return jax.vmap(self._step_one)(state, actions)
+
+    # --- auto-reset from a pre-generated pool ---
+    def autoreset(self, state: EnvState, obs: jax.Array, done: jax.Array,
+                  pool_state: EnvState, pool_obs: jax.Array,
+                  pool_ptr: jax.Array):
+        """Swap terminated rows for fresh pool rows.
+
+        Each done row consumes the next pool entry (wrapping — the pool is
+        refreshed with new PRNG keys every learner iteration, so wrap reuse
+        only happens when terminations exceed pool size within one rollout).
+        Returns (state', obs', pool_ptr').
+        """
+        r = jax.tree_util.tree_leaves(pool_state)[0].shape[0]
+        take = (pool_ptr + jnp.cumsum(done.astype(jnp.int32)) - 1) % r
+        fresh_state = jax.tree_util.tree_map(lambda x: x[take], pool_state)
+        fresh_obs = pool_obs[take]
+
+        def pick(new, old):
+            mask = done.reshape((-1,) + (1,) * (old.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        state = jax.tree_util.tree_map(pick, fresh_state, state)
+        obs = pick(fresh_obs, obs)
+        ptr = (pool_ptr + done.sum(dtype=jnp.int32)) % r
+        return state, obs, ptr
+
+    @property
+    def obs_shape(self) -> Tuple[int, ...]:
+        return (self.cfg.num_agents,) + self.cfg.obs_shape
+
+    @property
+    def num_actions(self) -> int:
+        return self.cfg.num_actions
+
+
+def make_env(env_id: str, cfg: Optional[EnvConfig] = None) -> TrackEnv:
+    """gym.make-style factory over the 72 Track2D ids (environment.py:11-32).
+
+    Non-Track2D families (the external UnrealCV 3D envs imported at
+    environment.py:8-9) are served by the optional host bridge in
+    ``envs/bridge.py`` behind a lazy import boundary.
+    """
+    if cfg is None:
+        cfg = parse_env_id(env_id)
+    return TrackEnv(cfg)

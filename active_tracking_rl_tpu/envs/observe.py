@@ -1,0 +1,66 @@
+"""Observation kernels.
+
+Partial obs (track_1v1.py:309-326): a (2*pob+1)^2 egocentric crop around each
+agent, wall-padded at map borders, with agents painted 2+2*i (tracker 2,
+target 4) and the observing agent's own color winning on overlap
+(track_1v1.py:300-313). The reference re-pads the maze per call; here the
+maze is stored pre-padded with `pob_size` wall cells so the crop is a single
+`lax.dynamic_slice`, and agents are painted inside the 13x13 crop (instead of
+scattering into the full map and copying it per agent).
+
+Full obs (track_1v1.py:295-307): the whole painted maze per agent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from active_tracking_rl_tpu.config import EnvConfig
+
+
+def _paint_in_crop(crop: jax.Array, rel: jax.Array, color: int,
+                   window: int) -> jax.Array:
+    """Set crop[rel] = color iff rel lies inside the window (masked scatter)."""
+    inside = ((rel >= 0) & (rel < window)).all()
+    r = jnp.clip(rel, 0, window - 1)
+    val = jnp.where(inside, jnp.uint8(color), crop[r[0], r[1]])
+    return crop.at[r[0], r[1]].set(val)
+
+
+def partial_obs(cfg: EnvConfig, maze_padded: jax.Array,
+                pos: jax.Array) -> jax.Array:
+    """-> (num_agents, 2*pob+1, 2*pob+1) uint8."""
+    w = cfg.pob_window
+    p = cfg.pob_size
+
+    def one(i):
+        # pos is unpadded; padded crop origin = pos + p - p = pos.
+        crop = jax.lax.dynamic_slice(maze_padded, (pos[i, 0], pos[i, 1]), (w, w))
+        j = 1 - i  # the other agent (num_agents == 2)
+        rel = pos[j] - pos[i] + p
+        crop = _paint_in_crop(crop, rel, 2 + 2 * j, w)
+        # own cell painted last -> own color wins on overlap (track_1v1.py:313)
+        crop = crop.at[p, p].set(jnp.uint8(2 + 2 * i))
+        return crop
+
+    return jnp.stack([one(0), one(1)])
+
+
+def full_obs(cfg: EnvConfig, maze_padded: jax.Array, pos: jax.Array) -> jax.Array:
+    """-> (num_agents, S, S) uint8 (track_1v1.py:287-307)."""
+    p = cfg.pob_size
+    s = cfg.maze_size
+    maze = jax.lax.dynamic_slice(maze_padded, (p, p), (s, s))
+    painted = (maze
+               .at[pos[0, 0], pos[0, 1]].set(2)
+               .at[pos[1, 0], pos[1, 1]].set(4))
+    obs0 = painted.at[pos[0, 0], pos[0, 1]].set(2)
+    obs1 = painted.at[pos[1, 0], pos[1, 1]].set(4)
+    return jnp.stack([obs0, obs1])
+
+
+def observe(cfg: EnvConfig, maze_padded: jax.Array, pos: jax.Array) -> jax.Array:
+    if cfg.obs_type == "Full":
+        return full_obs(cfg, maze_padded, pos)
+    return partial_obs(cfg, maze_padded, pos)

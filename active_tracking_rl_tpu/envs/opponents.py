@@ -1,0 +1,183 @@
+"""Scripted-target controllers compiled to per-episode action tapes.
+
+TPU-native design (SURVEY.md §7): the reference drives scripted targets with
+per-step Python (`RamAgent.step` navigator.py:73-93, `Navigator.step`
+navigator.py:11-41 with heap A*). Because the grid dynamics are deterministic
+and agents never block each other, the target's entire episode is computable
+at reset time:
+
+  * Ram: simulate the burst automaton for `tape_len` ticks.
+  * Nav/RPF: pre-sample goal candidates, compute a BFS distance field per
+    candidate (distance.py), then simulate the navigator's replan/planB logic
+    for `tape_len` ticks with greedy descent on the fields. This reproduces
+    goal-reached / plan-exhausted replans, the 6-try solvability retry, and
+    the 10-random-action planB fallback (navigator.py:11-41,43-63).
+
+Per env step the scripted action is then a single tape gather
+(`state.tape[state.t]`) — the hot path has no planning work at all.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from active_tracking_rl_tpu.config import EnvConfig
+from active_tracking_rl_tpu.envs.distance import INF, distance_fields
+from active_tracking_rl_tpu.envs.maps import patrol_goals
+
+#: transition table, reference order (track_1v1.py:276): up/down/left/right
+#: then the 4 Moore diagonals (track_1v1.py:278-279).
+DELTAS = jnp.array(
+    [[-1, 0], [1, 0], [0, -1], [0, 1],
+     [-1, 1], [1, 1], [-1, -1], [1, -1]], jnp.int32)
+
+_MAX_BURST = 9  # np.random.randint(1, 10) -> plan length 1..9
+
+
+def ram_tape(cfg: EnvConfig, key: jax.Array) -> jax.Array:
+    """(tape_len,) int8 action tape simulating RamAgent (navigator.py:73-93).
+
+    Semantics: emit the current plan; on emitting its last action, regenerate:
+    with p=1/2 a repeat-burst of a fresh action (which REPLACES the action
+    emitted this very tick — the reference overwrites `action` after drawing
+    it, navigator.py:81-83), else an i.i.d. random burst. Burst lengths are
+    uniform on 1..9.
+    """
+    na = cfg.num_actions
+    k_init, k_scan = jax.random.split(key)
+    ki1, ki2 = jax.random.split(k_init)
+    plan0 = jax.random.randint(ki1, (_MAX_BURST,), 0, na, jnp.int8)
+    len0 = jax.random.randint(ki2, (), 1, _MAX_BURST + 1, jnp.int32)
+
+    def tick(carry, k):
+        plan, plan_len, a_i = carry
+        kc, ka, kn, kp = jax.random.split(k, 4)
+        action = plan[a_i]
+        a_next = a_i + 1
+        regen = a_next >= plan_len
+        coin = jax.random.randint(kc, (), 0, 2)
+        n = jax.random.randint(kn, (), 1, _MAX_BURST + 1, jnp.int32)
+        burst_action = jax.random.randint(ka, (), 0, na, jnp.int8)
+        rand_plan = jax.random.randint(kp, (_MAX_BURST,), 0, na, jnp.int8)
+        new_plan = jnp.where(coin == 0,
+                             jnp.full((_MAX_BURST,), 1, jnp.int8) * burst_action,
+                             rand_plan)
+        action = jnp.where(regen & (coin == 0), burst_action, action)
+        plan = jnp.where(regen, new_plan, plan)
+        plan_len = jnp.where(regen, n, plan_len)
+        a_i = jnp.where(regen, 0, a_next)
+        return (plan, plan_len, a_i), action
+
+    keys = jax.random.split(k_scan, cfg.tape_len)
+    _, tape = jax.lax.scan(tick, (plan0, len0, jnp.int32(0)), keys)
+    return tape
+
+
+def nav_candidates(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
+                   first_goal: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pre-sampled navigator goal candidates + their distance fields.
+
+    Returns (candidates (G,2) i32, field_idx (G,) i32, fields (Gf,S,S) i16).
+
+    Nav: candidate 0 is the reset goal handed to Navigator.reset
+    (track_1v1.py:139-141 passes goal_states[1]); the rest are i.i.d. uniform
+    free cells, standing in for the lazy `sample_goal` calls at each replan
+    (navigator.py:17,28). RPF: the 4 static patrol corners cycled starting at
+    index 1 (generators.py:47-50 — `vector` is 1 after the init_maze call).
+    """
+    g = cfg.nav_goal_candidates
+    if cfg.target_mode == "RPF":
+        patrol = patrol_goals(cfg)
+        idx = (1 + jnp.arange(g, dtype=jnp.int32)) % 4
+        candidates = patrol[idx]
+        field_idx = idx
+        fields = distance_fields(maze, patrol, cfg.flood_iters)
+        return candidates, field_idx, fields
+
+    free = (maze == 0).reshape(-1)
+    logits = jnp.where(free, 0.0, -1e9)
+    s = maze.shape[-1]
+    keys = jax.random.split(key, g - 1)
+    flat = jax.vmap(lambda k: jax.random.categorical(k, logits))(keys)
+    rest = jnp.stack([flat // s, flat % s], axis=-1).astype(jnp.int32)
+    candidates = jnp.concatenate([first_goal[None, :], rest], axis=0)
+    field_idx = jnp.arange(g, dtype=jnp.int32)
+    fields = distance_fields(maze, candidates, cfg.flood_iters)
+    return candidates, field_idx, fields
+
+
+_RETRIES = 6  # initial goal + 5 resamples before planB (navigator.py:22-26)
+_PLANB_LEN = 10  # navigator.py:34
+
+
+def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
+             spawn: jax.Array, first_goal: jax.Array) -> jax.Array:
+    """(tape_len,) int8 tape simulating Navigator (navigator.py:11-63).
+
+    Per tick: if the target sits on its goal or its plan is exhausted,
+    replan — try up to 6 candidates for a reachable, non-trivial goal
+    (path length >= 1), falling back to 10 random actions (planB). Then act:
+    greedy descent on the active distance field with action-order tie-break,
+    or the random planB action. Movement follows env dynamics (wall -> stay).
+    """
+    na = cfg.num_actions
+    g = cfg.nav_goal_candidates
+    k_cand, k_scan = jax.random.split(key)
+    candidates, field_idx, fields = nav_candidates(cfg, k_cand, maze, first_goal)
+    wall = maze != 0
+
+    def tick(carry, k):
+        pos, goal_ptr, goal_cell, cur_field, remaining, planb = carry
+        need = (pos == goal_cell).all() | (remaining <= 0)
+
+        # --- replan (navigator.py:15-38) ---
+        try_idx = (goal_ptr + jnp.arange(_RETRIES, dtype=jnp.int32)) % g
+        cand = candidates[try_idx]                        # (6, 2)
+        fidx = field_idx[try_idx]                         # (6,)
+        dists = fields[fidx, pos[0], pos[1]]              # (6,)
+        ok = (dists >= 1) & (dists < INF)
+        any_ok = ok.any()
+        first = jnp.argmax(ok)
+        consumed = jnp.where(any_ok, first + 1, _RETRIES)
+        r_goal_cell = jnp.where(any_ok, cand[first], cand[_RETRIES - 1])
+        r_field = jnp.where(any_ok, fidx[first], fidx[_RETRIES - 1])
+        r_remaining = jnp.where(any_ok, dists[first].astype(jnp.int32),
+                                jnp.int32(_PLANB_LEN))
+        goal_ptr = jnp.where(need, goal_ptr + consumed, goal_ptr)
+        goal_cell = jnp.where(need, r_goal_cell, goal_cell)
+        cur_field = jnp.where(need, r_field, cur_field)
+        remaining = jnp.where(need, r_remaining, remaining)
+        planb = jnp.where(need, ~any_ok, planb)
+
+        # --- act ---
+        nbr = pos[None, :] + DELTAS[:na]                  # (na, 2)
+        nv = fields[cur_field, nbr[:, 0], nbr[:, 1]]
+        greedy = jnp.argmin(nv).astype(jnp.int8)          # first-min tie-break
+        rand_a = jax.random.randint(k, (), 0, na, jnp.int8)
+        action = jnp.where(planb, rand_a, greedy)
+
+        # --- move (track_1v1.py:281-285: wall -> stay) ---
+        nxt = pos + DELTAS[action]
+        hit = wall[nxt[0], nxt[1]]
+        pos = jnp.where(hit, pos, nxt)
+        remaining = remaining - 1
+        return (pos, goal_ptr, goal_cell, cur_field, remaining, planb), action
+
+    init = (spawn, jnp.int32(0), candidates[0], jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False))
+    keys = jax.random.split(k_scan, cfg.tape_len)
+    _, tape = jax.lax.scan(tick, init, keys)
+    return tape
+
+
+def build_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
+               spawn: jax.Array, first_goal: jax.Array) -> jax.Array:
+    """Dispatch on target mode; dueling modes get a zero tape."""
+    if cfg.target_mode == "Ram":
+        return ram_tape(cfg, key)
+    if cfg.target_mode in ("Nav", "RPF"):
+        return nav_tape(cfg, key, maze, spawn, first_goal)
+    return jnp.zeros((cfg.tape_len,), jnp.int8)

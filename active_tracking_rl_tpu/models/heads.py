@@ -1,0 +1,80 @@
+"""Policy / value heads and action sampling (model.py:24-99).
+
+Sampling is a pure function of (logits, key) so the two-phase dueling step
+(tracker samples -> target conditions on the sampled action, model.py:249-257)
+can interleave with module applications inside one jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from active_tracking_rl_tpu.models.init import ref_uniform_linear, zeros
+
+
+class ValueNet(nn.Module):
+    """model.py:55-64."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(1, kernel_init=ref_uniform_linear, bias_init=zeros)(x)
+
+
+class PolicyNet(nn.Module):
+    """model.py:67-99. Discrete -> logits (B, n); continuous -> (mu, sigma_raw)."""
+
+    num_outputs: int
+    continuous: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        lin = nn.Dense(self.num_outputs, kernel_init=ref_uniform_linear,
+                       bias_init=zeros)
+        if not self.continuous:
+            return lin(x), None
+        mu = nn.soft_sign(lin(x))
+        sigma = nn.Dense(self.num_outputs, kernel_init=ref_uniform_linear,
+                         bias_init=zeros)(x)
+        return mu, sigma
+
+
+class ActionSample(NamedTuple):
+    action: jnp.ndarray      # (B,) int32  | (B, A) f32 continuous
+    entropy: jnp.ndarray     # (B, 1)      | (B, A)
+    log_prob: jnp.ndarray    # (B, 1)      | (B, A)
+
+
+def sample_discrete(logits: jnp.ndarray, key: jax.Array,
+                    test: bool = False) -> ActionSample:
+    """model.py:40-51: softmax probs, entropy = -sum p log p, multinomial
+    sample (train) or argmax (test), gathered log-prob."""
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(log_p)
+    entropy = -(log_p * p).sum(-1, keepdims=True)
+    greedy = jnp.argmax(p, axis=-1)
+    sampled = jax.random.categorical(key, logits, axis=-1)
+    action = jnp.where(jnp.bool_(test), greedy, sampled).astype(jnp.int32)
+    log_prob = jnp.take_along_axis(log_p, action[:, None], axis=-1)
+    return ActionSample(action, entropy, log_prob)
+
+
+def sample_continuous(mu: jnp.ndarray, sigma_raw: jnp.ndarray, key: jax.Array,
+                      test: bool = False) -> ActionSample:
+    """model.py:24-39: sigma = softplus + 1e-5 (a VARIANCE in the reference's
+    pdf, utils.py:75-81), action = clamp(mu + sqrt(sigma)*eps),
+    log_prob = log(pdf + 1e-6), entropy = 0.5*(log(2*pi*sigma) + 1)."""
+    mu = jnp.clip(mu, -1.0, 1.0)
+    sigma = jax.nn.softplus(sigma_raw) + 1e-5
+    eps = jax.random.normal(key, mu.shape)
+    action = mu + jnp.sqrt(sigma) * eps
+    action = jnp.where(jnp.bool_(test), mu, action)
+    action = jnp.clip(action, -1.0, 1.0)
+    act = jax.lax.stop_gradient(action)
+    pdf = jnp.exp(-((act - mu) ** 2) / (2 * sigma)) / jnp.sqrt(2 * sigma * jnp.pi)
+    log_prob = jnp.log(pdf + 1e-6)
+    entropy = 0.5 * (jnp.log(2 * jnp.pi * sigma) + 1.0)
+    return ActionSample(action, entropy, log_prob)

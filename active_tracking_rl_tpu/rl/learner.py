@@ -1,0 +1,142 @@
+"""The synchronous learner: one jitted train step = rollout -> loss -> grad
+-> (psum over the data axis, inserted by pjit from shardings) -> update.
+
+This replaces the reference's Hogwild pipeline — per-worker
+`load_state_dict` weight pull (train.py:71), `ensure_shared_grads` push
+(utils.py:36-44) and lock-free `SharedAdam.step()` (shared_optim.py:122-175)
+— with large-batch synchronous A2C: parameters live replicated on device,
+the env batch is sharded over the mesh's data axis, and the gradient
+all-reduce rides ICI (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from active_tracking_rl_tpu.config import NetConfig, TrainConfig
+from active_tracking_rl_tpu.envs.env import TrackEnv
+from active_tracking_rl_tpu.models.dueling import DuelingModel
+from active_tracking_rl_tpu.ops.losses import dueling_loss
+from active_tracking_rl_tpu.rl.optim import make_optimizer
+from active_tracking_rl_tpu.rl.rollout import (TrainCarry, obs_to_model,
+                                               run_rollout)
+
+
+class TrainMetrics(NamedTuple):
+    loss: chex.Array
+    policy_loss: chex.Array    # (2,)
+    value_loss: chex.Array     # (2,)
+    entropy: chex.Array        # (2,)
+    pred_loss: chex.Array
+    ep_return: chex.Array      # (2,) mean return of episodes finished this iter
+    ep_len: chex.Array
+    ep_count: chex.Array
+    grad_norm: chex.Array
+
+
+def make_optimizer_for(net_cfg: NetConfig, tcfg: TrainConfig,
+                       params) -> optax.GradientTransformation:
+    """Optimizer over the param subset selected by the static train mode
+    (main.py:74-79): 0 -> player0 only, 1 -> player1 only, else all.
+    Implemented with optax.masked so clip-norm sees only the trained subset
+    (player_util.py:157 clips `params`, the selected set)."""
+    opt = make_optimizer(tcfg.optimizer, tcfg.lr, tcfg.grad_clip, tcfg.amsgrad)
+    if tcfg.train_mode in (0, 1):
+        target = "player0" if tcfg.train_mode == 0 else "player1"
+        mask = {k: (k == target) for k in params}
+        return optax.masked(opt, mask)
+    return opt
+
+
+def bootstrap_values(model: DuelingModel, params, carry: TrainCarry,
+                     key: jax.Array) -> jnp.ndarray:
+    """V(s_T) for both players (player_util.py:109-117). The TAT target's
+    value depends on a freshly sampled tracker action at s_T (the reference's
+    bootstrap call runs the full forward, model.py:238-257)."""
+    obs_f = obs_to_model(carry.obs_stack)
+    out0 = model.tracker_fwd(params, obs_f[:, 0], carry.hx[:, 0],
+                             carry.cx[:, 0])
+    s0 = model.sample(out0, key)
+    if model.player1 is None:
+        return out0.value
+    out1 = model.target_fwd(params, obs_f[:, 0], obs_f[:, 1],
+                            carry.hx[:, 1], carry.cx[:, 1], s0.action)
+    return jnp.concatenate([out0.value, out1.value], axis=-1)  # (B, 2)
+
+
+def make_train_step(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
+                    tcfg: TrainConfig, opt: optax.GradientTransformation):
+    """Returns train_step(params, opt_state, carry, mode) -> (params',
+    opt_state', carry', metrics). `mode` is a traced int32 so curriculum
+    switches (test.py:80-92) don't retrigger compilation."""
+
+    w_ent = tcfg.entropy
+    w_ent_t = tcfg.entropy_target
+    aux = net_cfg.tat and net_cfg.aux_reward
+
+    def loss_fn(params, carry: TrainCarry, mode):
+        traj, new_carry = run_rollout(model, env, tcfg, params, carry)
+        kb = jax.random.fold_in(new_carry.key, 7)
+        boot = bootstrap_values(model, params, new_carry, kb)  # (B, 2)
+
+        def per_row(rew, val, bs, logp, ent, done, rp):
+            return dueling_loss(rew, val, bs, logp, ent, done, rp,
+                                mode, tcfg.gamma, tcfg.tau,
+                                w_ent, w_ent_t, aux)
+
+        rp = traj.r_pred if aux else None
+        stats = jax.vmap(per_row, in_axes=(1, 1, 0, 1, 1, 1,
+                                           (1 if aux else None)))(
+            traj.rewards, traj.values, boot, traj.log_probs,
+            traj.entropies, traj.done, rp)
+        loss = stats.loss.mean()
+        metrics_src = (stats, traj)
+        return loss, (metrics_src, new_carry)
+
+    def train_step(params, opt_state, carry: TrainCarry, mode):
+        (loss, ((stats, traj), new_carry)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, carry, mode)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ep_count = traj.done.sum().astype(jnp.float32)
+        denom = jnp.maximum(ep_count, 1.0)
+        metrics = TrainMetrics(
+            loss=loss,
+            policy_loss=stats.policy_loss.mean(0),
+            value_loss=stats.value_loss.mean(0),
+            entropy=stats.entropy.mean(0) / tcfg.num_steps,
+            pred_loss=stats.pred_loss.mean(),
+            ep_return=traj.ep_return.sum((0, 1)) / denom,
+            ep_len=traj.ep_len.sum().astype(jnp.float32) / denom,
+            ep_count=ep_count,
+            grad_norm=optax.global_norm(grads),
+        )
+        return params, opt_state, new_carry, metrics
+
+    return train_step
+
+
+class LearnerState(NamedTuple):
+    params: chex.ArrayTree
+    opt_state: chex.ArrayTree
+    carry: TrainCarry
+    step: chex.Array
+
+
+def init_learner(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
+                 tcfg: TrainConfig, key: jax.Array
+                 ) -> Tuple[LearnerState, optax.GradientTransformation]:
+    from active_tracking_rl_tpu.rl.rollout import init_carry
+    k_model, k_env = jax.random.split(key)
+    params = model.init(k_model)
+    opt = make_optimizer_for(net_cfg, tcfg, params)
+    opt_state = opt.init(params)
+    carry = init_carry(env, net_cfg, tcfg.num_envs, k_env)
+    return LearnerState(params, opt_state, carry,
+                        jnp.zeros((), jnp.int32)), opt

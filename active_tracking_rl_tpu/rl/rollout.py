@@ -1,0 +1,123 @@
+"""Vectorized on-device rollout: the reference's worker hot loop
+(train.py:69-95, player_util.py:44-67) as one `lax.scan` inside jit.
+
+Per scan step (all B rows in lockstep):
+  1. tracker forward + sample,
+  2. (dueling) TAT target forward conditioned on the tracker's sampled action
+     + sample (the two-phase step, model.py:242-257),
+  3. env step (scripted modes override the target action via the tape),
+  4. auto-reset of terminated rows from the pre-generated reset pool, with
+     recurrent state zeroed for fresh episodes (player_util.py:98-102) and
+     the frame stack refilled with copies (environment.py:135-142).
+
+BPTT truncation at rollout boundaries (player_util.py:104-106, train.py:79)
+falls out of scanning from a non-differentiated initial carry.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+
+from active_tracking_rl_tpu.config import NetConfig, TrainConfig
+from active_tracking_rl_tpu.envs.env import TrackEnv
+from active_tracking_rl_tpu.envs.types import EnvState
+from active_tracking_rl_tpu.models.dueling import DuelingModel
+
+
+class TrainCarry(NamedTuple):
+    """Persistent across learner iterations."""
+
+    env_state: EnvState          # EnvState[B]
+    obs_stack: chex.Array        # (B, 2, k, H, W) uint8
+    hx: chex.Array               # (B, 2, R) f32
+    cx: chex.Array               # (B, 2, R) f32
+    key: chex.Array
+
+
+class Trajectory(NamedTuple):
+    values: chex.Array           # (T, B, 2)
+    log_probs: chex.Array        # (T, B, 2)
+    entropies: chex.Array        # (T, B, 2)
+    rewards: chex.Array          # (T, B, 2)
+    done: chex.Array             # (T, B)
+    r_pred: Optional[chex.Array]  # (T, B) or None
+    # episode bookkeeping captured at termination (pre-autoreset)
+    ep_return: chex.Array        # (T, B, 2) c_reward where done else 0
+    ep_len: chex.Array           # (T, B) t where done else 0
+
+
+def _stack_push(obs_stack: jnp.ndarray, new_obs: jnp.ndarray) -> jnp.ndarray:
+    """Shift the frame-stack ring and append (environment.py:144-152)."""
+    if obs_stack.shape[2] == 1:
+        return new_obs[:, :, None]
+    return jnp.concatenate([obs_stack[:, :, 1:], new_obs[:, :, None]], axis=2)
+
+
+def _stack_fill(new_obs: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Fill all k slots with the reset obs (environment.py:139-141)."""
+    return jnp.repeat(new_obs[:, :, None], k, axis=2)
+
+
+def obs_to_model(obs_stack: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2, k, H, W) uint8 -> (B, 2, k, H, W, 1) float32."""
+    return obs_stack.astype(jnp.float32)[..., None]
+
+
+def init_carry(env: TrackEnv, net_cfg: NetConfig, num_envs: int,
+               key: jax.Array) -> TrainCarry:
+    k_env, k_carry = jax.random.split(key)
+    state, obs = env.reset_batch(k_env, num_envs)
+    obs_stack = _stack_fill(obs, net_cfg.stack_frames)
+    hx = jnp.zeros((num_envs, 2, net_cfg.rnn_out), jnp.float32)
+    return TrainCarry(state, obs_stack, hx, hx, k_carry)
+
+
+def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,
+                params, carry: TrainCarry,
+                test: bool = False) -> Tuple[Trajectory, TrainCarry]:
+    """T = tcfg.num_steps env steps for all rows. Differentiable through the
+    model applications (the 20-step BPTT window of the reference)."""
+    k_pool, k_scan, k_next = jax.random.split(carry.key, 3)
+    pool_state, pool_obs = env.reset_batch(k_pool, tcfg.reset_pool)
+    kcfg = model.cfg
+
+    def step_fn(c, key_t):
+        env_state, obs_stack, hx, cx, ptr = c
+        obs_f = obs_to_model(obs_stack)
+        km, _ = jax.random.split(key_t)
+        (values, actions, entropies, log_probs, hx_n, cx_n,
+         r_pred) = model.step_both(params, obs_f, hx, cx, km, test)
+        env_state, obs, rewards, done, _ = env.step_batch(
+            env_state, actions.astype(jnp.int32))
+        ep_return = jnp.where(done[:, None], env_state.c_reward, 0.0)
+        ep_len = jnp.where(done, env_state.t, 0)
+        # auto-reset: swap in fresh pool rows, refill stacks, zero rnn state
+        env_state, obs2, ptr = env.autoreset(env_state, obs, done, pool_state,
+                                             pool_obs, ptr)
+        k = obs_stack.shape[2]
+        obs_stack = jnp.where(done[:, None, None, None, None],
+                              _stack_fill(obs2, k),
+                              _stack_push(obs_stack, obs2))
+        mask = done[:, None, None]
+        hx_n = jnp.where(mask, 0.0, hx_n)
+        cx_n = jnp.where(mask, 0.0, cx_n)
+        out = (values, log_probs, entropies, rewards, done,
+               (r_pred[..., 0] if r_pred is not None else jnp.zeros_like(done, jnp.float32)),
+               ep_return, ep_len)
+        return (env_state, obs_stack, hx_n, cx_n, ptr), out
+
+    keys = jax.random.split(k_scan, tcfg.num_steps)
+    init = (carry.env_state, carry.obs_stack, carry.hx, carry.cx,
+            jnp.int32(0))
+    (env_state, obs_stack, hx, cx, _), outs = jax.lax.scan(step_fn, init, keys)
+    (values, log_probs, entropies, rewards, done, r_pred,
+     ep_return, ep_len) = outs
+    traj = Trajectory(values, log_probs, entropies, rewards, done,
+                      r_pred if (kcfg.tat and kcfg.aux_reward) else None,
+                      ep_return, ep_len)
+    new_carry = TrainCarry(env_state, obs_stack, hx, cx, k_next)
+    return traj, new_carry

@@ -1,0 +1,180 @@
+"""Training CLI — replaces main.py + the train/test processes.
+
+The reference spawns 1 evaluator + N worker processes around a shared-memory
+model (main.py:102-119). Here one process per host drives a jitted
+rollout+update program over the device mesh; the evaluator's three roles —
+measurement (test.py:55-79), curriculum control (test.py:80-92) and
+checkpointing (test.py:111-127) — run inline on the host every
+`checkpoint_every` iterations from replicated scalars.
+
+Example (README.md:52 equivalent):
+    python -m active_tracking_rl_tpu.run.train \
+        --env Track2D-BlockPartialPZR-v0 --env-base Track2D-BlockPartialNav-v0 \
+        --network tat-maze-lstm --train-mode -1 --num-envs 1024
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from active_tracking_rl_tpu.config import (TrainConfig, net_config_for,
+                                           parse_env_id)
+from active_tracking_rl_tpu.envs.env import make_env
+from active_tracking_rl_tpu.models.dueling import build_model
+from active_tracking_rl_tpu.parallel.mesh import (MeshSpec, learner_shardings,
+                                                  make_mesh, shard_learner)
+from active_tracking_rl_tpu.rl import curriculum
+from active_tracking_rl_tpu.rl.checkpoint import CheckpointManager, load_params
+from active_tracking_rl_tpu.rl.evaluate import evaluate
+from active_tracking_rl_tpu.rl.learner import init_learner, make_train_step
+from active_tracking_rl_tpu.utils.logging import MetricWriter, setup_logger
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """Flags mirror main.py:16-50 where applicable."""
+    p = argparse.ArgumentParser(description="TPU-native AD-VAT trainer")
+    p.add_argument("--env", default="Track2D-BlockPartialPZR-v0")
+    p.add_argument("--env-base", default="Track2D-BlockPartialNav-v0")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--gamma", type=float, default=0.9)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--entropy", type=float, default=0.01)
+    p.add_argument("--entropy-target", type=float, default=0.2)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--num-steps", type=int, default=20)
+    p.add_argument("--test-eps", type=int, default=100)
+    p.add_argument("--optimizer", default="Adam")
+    p.add_argument("--network", default=None)
+    p.add_argument("--aux", default="reward")
+    p.add_argument("--train-mode", type=int, default=-1)
+    p.add_argument("--init-step", type=int, default=-1)
+    p.add_argument("--adv-step", type=int, default=500)
+    p.add_argument("--stack-frames", type=int, default=1)
+    p.add_argument("--rnn-out", type=int, default=128)
+    p.add_argument("--max-step", type=int, default=150000)
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--reset-pool", type=int, default=256)
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--load-model-dir", default=None)
+    p.add_argument("--split", action="store_true", default=True)
+    p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--total-iters", type=int, default=None,
+                   help="stop after this many learner iterations "
+                        "(default: --max-step)")
+    return p
+
+
+def train_config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        env_id=args.env, env_base=args.env_base, lr=args.lr,
+        gamma=args.gamma, tau=args.tau, entropy=args.entropy,
+        entropy_target=args.entropy_target, seed=args.seed,
+        num_steps=args.num_steps, max_step=args.max_step,
+        test_eps=args.test_eps, optimizer=args.optimizer,
+        train_mode=args.train_mode, init_step=args.init_step,
+        adv_step=args.adv_step, num_envs=args.num_envs,
+        reset_pool=args.reset_pool, split=args.split,
+        log_dir=args.log_dir, checkpoint_every=args.checkpoint_every,
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    tcfg = train_config_from_args(args)
+    from active_tracking_rl_tpu.config import NetConfig
+    if args.network:
+        ncfg = NetConfig.from_name(args.network, rnn_out=args.rnn_out,
+                                   stack_frames=args.stack_frames,
+                                   aux=args.aux)
+    else:
+        ncfg = net_config_for(tcfg)
+
+    run_dir = os.path.join(tcfg.log_dir, tcfg.env_id,
+                           datetime.now().strftime("%b%d_%H-%M"))
+    log = setup_logger(f"{tcfg.env_id}_log", os.path.join(run_dir, "logger"))
+    for k, v in vars(args).items():
+        log.info(f"{k}: {v}")
+
+    ecfg = parse_env_id(tcfg.env_id)
+    env = make_env(tcfg.env_id)
+    env_base = make_env(tcfg.env_base)
+    model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+
+    mesh = make_mesh(MeshSpec())
+    key = jax.random.PRNGKey(tcfg.seed)
+    state, opt = init_learner(model, env, ncfg, tcfg, key)
+    if args.load_model_dir:
+        state = state._replace(params=load_params(state.params,
+                                                  args.load_model_dir))
+    state = shard_learner(mesh, state)
+    shardings = learner_shardings(mesh, state)
+    train_step = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
+                         in_shardings=shardings,
+                         donate_argnums=(0, 1, 2))
+
+    writer = MetricWriter(run_dir)
+    ckpt = CheckpointManager(run_dir, split=tcfg.split)
+    cur = curriculum.CurriculumState.initial(tcfg)
+    params, opt_state, carry = state.params, state.opt_state, state.carry
+
+    total = args.total_iters or tcfg.max_step
+    env_steps_per_iter = tcfg.num_envs * tcfg.num_steps
+    t_last = time.time()
+    for it in range(1, total + 1):
+        cur = curriculum.update(tcfg, cur, it)
+        params, opt_state, carry, m = train_step(
+            params, opt_state, carry, jnp.int32(cur.mode))
+        if it % 50 == 0 or it == 1:
+            m = jax.device_get(m)
+            dt = time.time() - t_last
+            fps = 50 * env_steps_per_iter / dt if it > 1 else env_steps_per_iter / dt
+            t_last = time.time()
+            writer.write(it, {
+                "train/policy_loss_0": m.policy_loss[0],
+                "train/policy_loss_1": m.policy_loss[1],
+                "train/value_loss_0": m.value_loss[0],
+                "train/value_loss_1": m.value_loss[1],
+                "train/entropies0": m.entropy[0],
+                "train/entropies1": m.entropy[1],
+                "train/pred_R_loss": m.pred_loss,
+                "train/reward_0": m.ep_return[0],
+                "train/reward_1": m.ep_return[1],
+                "train/eps_len": m.ep_len,
+                "train/mode": cur.mode,
+                "train/fps": fps,
+                "train/grad_norm": m.grad_norm,
+            })
+            log.info(f"iter {it} mode {cur.mode} loss {float(m.loss):.3f} "
+                     f"R0 {float(m.ep_return[0]):.1f} len {float(m.ep_len):.0f} "
+                     f"env-steps/s {fps:.0f}")
+        if it % tcfg.checkpoint_every == 0 or it == total:
+            ek = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed + 999), it)
+            ev = evaluate(model, env_base, ncfg, params, ek, tcfg.test_eps)
+            writer.write(it, {
+                "test/reward0": ev["R_mean"][0],
+                "test/reward1": ev["R_mean"][1],
+                "test/eps_len": ev["EL_mean"],
+                "test/success_rate": ev["S_rate"],
+            })
+            best = ckpt.save(jax.device_get(params),
+                             {"opt_state": jax.device_get(opt_state),
+                              "step": it},
+                             float(ev["R_mean"][0]), it)
+            log.info(
+                f"eval iter {it}: R {ev['R_mean'].round(2)} EL "
+                f"{float(ev['EL_mean']):.1f} S {float(ev['S_rate']):.2f}"
+                + (" [best]" if best else ""))
+    writer.close()
+    return params
+
+
+if __name__ == "__main__":
+    main()
