@@ -59,6 +59,9 @@ class EnvConfig:
     #: treated as unreachable, which maps onto the reference's "unsolvable ->
     #: resample/planB" branch (navigator.py:22-35).
     flood_iters: int = 256
+    #: distance-field backend: "auto" (Pallas kernel on TPU, XLA elsewhere),
+    #: "xla", or "pallas" (see envs/distance.py:distance_fields_backend).
+    flood_backend: str = "auto"
 
     # ----- derived static geometry -----
     @property

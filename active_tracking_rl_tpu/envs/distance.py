@@ -50,3 +50,19 @@ def distance_field(maze: jax.Array, goal: jax.Array, iters: int) -> jax.Array:
 def distance_fields(maze: jax.Array, goals: jax.Array, iters: int) -> jax.Array:
     """Vectorized over goals: (G, 2) -> (G, S, S) int16."""
     return jax.vmap(lambda g: distance_field(maze, g, iters))(goals)
+
+
+def distance_fields_backend(maze: jax.Array, goals: jax.Array, iters: int,
+                            backend: str = "auto") -> jax.Array:
+    """Dispatch between the XLA flood and the VMEM-resident Pallas kernel.
+
+    backend: "auto" picks Pallas on TPU (the fori_loop carry round-trips HBM
+    every sweep under XLA; the kernel keeps it on-chip), XLA elsewhere.
+    """
+    if backend == "auto":
+        from active_tracking_rl_tpu.ops.flood_pallas import flood_available
+        backend = "pallas" if flood_available() else "xla"
+    if backend == "pallas":
+        from active_tracking_rl_tpu.ops.flood_pallas import flood_fields_pallas
+        return flood_fields_pallas(maze, goals, iters)
+    return distance_fields(maze, goals, iters)

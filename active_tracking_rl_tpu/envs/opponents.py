@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from active_tracking_rl_tpu.config import EnvConfig
-from active_tracking_rl_tpu.envs.distance import INF, distance_fields
+from active_tracking_rl_tpu.envs.distance import INF, distance_fields_backend
 from active_tracking_rl_tpu.envs.maps import patrol_goals
 
 #: transition table, reference order (track_1v1.py:276): up/down/left/right
@@ -94,7 +94,8 @@ def nav_candidates(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
         idx = (1 + jnp.arange(g, dtype=jnp.int32)) % 4
         candidates = patrol[idx]
         field_idx = idx
-        fields = distance_fields(maze, patrol, cfg.flood_iters)
+        fields = distance_fields_backend(maze, patrol, cfg.flood_iters,
+                                         cfg.flood_backend)
         return candidates, field_idx, fields
 
     free = (maze == 0).reshape(-1)
@@ -105,7 +106,8 @@ def nav_candidates(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
     rest = jnp.stack([flat // s, flat % s], axis=-1).astype(jnp.int32)
     candidates = jnp.concatenate([first_goal[None, :], rest], axis=0)
     field_idx = jnp.arange(g, dtype=jnp.int32)
-    fields = distance_fields(maze, candidates, cfg.flood_iters)
+    fields = distance_fields_backend(maze, candidates, cfg.flood_iters,
+                                     cfg.flood_backend)
     return candidates, field_idx, fields
 
 

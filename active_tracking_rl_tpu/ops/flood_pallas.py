@@ -1,0 +1,123 @@
+"""Pallas TPU kernel for BFS distance-field relaxation.
+
+Contract-identical to ``envs.distance.distance_fields`` (the XLA reference
+implementation and test oracle): min-plus flood fill over a 4-connected grid,
+``iters`` synchronous relaxation sweeps, walls and unreached cells at INF.
+
+Why a kernel: the XLA version runs ``iters`` (typically 256) iterations of a
+``fori_loop`` whose (S, S) carry round-trips HBM every sweep. Here the whole
+(G, S, S) field block stays **VMEM-resident** for all sweeps — one HBM read
+of the initial field + maze, one write of the result. The scripted-opponent
+reset path (``envs/opponents.py:nav_candidates``) computes G=16 fields per
+env row per episode, so this dominates reset-pool cost on TPU.
+
+Layout: S (81/82) is padded by the Mosaic compiler to lane width; the
+neighbor shifts are implemented with ``pltpu.roll`` + boundary masks, so the
+padding lanes never contaminate real cells (rolled-in values are masked to
+INF at the grid edges anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF32 = 16000  # plain int: jnp scalars would be captured consts in the kernel
+
+#: goal-field block per kernel program; G is blocked by this.
+_G_BLOCK = 8
+
+
+def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
+    """One program: relax a (Gb, S, S) field block for `iters` sweeps."""
+    wall = (maze_ref[:] != 0)[None, :, :]          # (1, S, S) -> broadcast
+    s0, s1 = d0_ref.shape[1], d0_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 2)
+    first_r = rows == 0
+    last_r = rows == s0 - 1
+    first_c = cols == 0
+    last_c = cols == s1 - 1
+
+    def body(_, d):
+        # neighbor value arriving from row-1 / row+1 / col-1 / col+1;
+        # grid-edge arrivals masked to INF (no wraparound neighbors).
+        # pltpu.roll requires non-negative shifts: size-1 == circular -1.
+        from_up = jnp.where(first_r, INF32, pltpu.roll(d, 1, axis=1))
+        from_dn = jnp.where(last_r, INF32, pltpu.roll(d, s0 - 1, axis=1))
+        from_lf = jnp.where(first_c, INF32, pltpu.roll(d, 1, axis=2))
+        from_rt = jnp.where(last_c, INF32, pltpu.roll(d, s1 - 1, axis=2))
+        best = jnp.minimum(jnp.minimum(from_up, from_dn),
+                           jnp.minimum(from_lf, from_rt))
+        nd = jnp.minimum(d, best + 1)
+        return jnp.where(wall, INF32, nd)
+
+    out_ref[:] = jax.lax.fori_loop(0, iters, body, d0_ref[:])
+
+
+def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
+    """(S,S) uint8 x (G,2) i32 -> (G,S,S) i32 initial field (0 at goal)."""
+    s = maze.shape[-1]
+    wall = maze != 0
+
+    def one(g):
+        d = jnp.where(wall, INF32, INF32)
+        return d.at[g[0], g[1]].set(
+            jnp.where(wall[g[0], g[1]], INF32, 0))
+
+    return jax.vmap(one)(goals)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def flood_fields_pallas(maze: jax.Array, goals: jax.Array,
+                        iters: int, interpret: bool = False) -> jax.Array:
+    """(S,S) uint8, (G,2) i32 -> (G,S,S) int16 distance fields.
+
+    G must be a multiple of _G_BLOCK or <= _G_BLOCK (padded internally).
+    ``interpret=True`` runs the Pallas interpreter (CPU testing).
+    """
+    g = goals.shape[0]
+    d0 = _init_fields(maze, goals)
+    gb = min(g, _G_BLOCK)
+    pad = (-g) % gb
+    if pad:
+        d0 = jnp.concatenate(
+            [d0, jnp.full((pad,) + d0.shape[1:], INF32)], axis=0)
+    gp = d0.shape[0]
+    s = maze.shape[-1]
+
+    out = pl.pallas_call(
+        functools.partial(_relax_kernel, iters),
+        grid=(gp // gb,),
+        in_specs=[
+            pl.BlockSpec((s, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, s, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gp, s, s), jnp.int32),
+        interpret=interpret,
+    )(maze, d0)
+    return out[:g].astype(jnp.int16)
+
+
+def flood_available() -> bool:
+    """True when the default backend can run the Mosaic kernel."""
+    try:
+        return jax.default_backend() == "tpu" or _is_axon()
+    except Exception:
+        return False
+
+
+def _is_axon() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return "TPU" in (getattr(dev, "device_kind", "") or "")
+    except Exception:
+        return False

@@ -50,7 +50,11 @@ def make_optimizer_for(net_cfg: NetConfig, tcfg: TrainConfig,
     if tcfg.train_mode in (0, 1):
         target = "player0" if tcfg.train_mode == 0 else "player1"
         mask = {k: (k == target) for k in params}
-        return optax.masked(opt, mask)
+        inv = {k: (k != target) for k in params}
+        # masked() leaves non-masked gradients untouched as updates — they
+        # must be explicitly zeroed or the frozen player drifts by raw grads.
+        return optax.chain(optax.masked(opt, mask),
+                           optax.masked(optax.set_to_zero(), inv))
     return opt
 
 

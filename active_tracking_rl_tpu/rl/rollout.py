@@ -69,11 +69,17 @@ def obs_to_model(obs_stack: jnp.ndarray) -> jnp.ndarray:
 
 def init_carry(env: TrackEnv, net_cfg: NetConfig, num_envs: int,
                key: jax.Array) -> TrainCarry:
-    k_env, k_carry = jax.random.split(key)
-    state, obs = env.reset_batch(k_env, num_envs)
-    obs_stack = _stack_fill(obs, net_cfg.stack_frames)
-    hx = jnp.zeros((num_envs, 2, net_cfg.rnn_out), jnp.float32)
-    return TrainCarry(state, obs_stack, hx, hx, k_carry)
+    # jit: eager batched reset dispatches thousands of small ops (very slow
+    # over a remote-TPU connection); as one program it is a single dispatch.
+    @jax.jit
+    def _init(key):
+        k_env, k_carry = jax.random.split(key)
+        state, obs = env.reset_batch(k_env, num_envs)
+        obs_stack = _stack_fill(obs, net_cfg.stack_frames)
+        hx = jnp.zeros((num_envs, 2, net_cfg.rnn_out), jnp.float32)
+        return TrainCarry(state, obs_stack, hx, hx, k_carry)
+
+    return _init(key)
 
 
 def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,

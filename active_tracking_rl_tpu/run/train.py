@@ -69,6 +69,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--total-iters", type=int, default=None,
                    help="stop after this many learner iterations "
                         "(default: --max-step)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of iterations 10-15 "
+                        "here (view with TensorBoard / xprof)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume params+opt_state+step from")
     return p
 
 
@@ -114,6 +119,19 @@ def main(argv=None):
     if args.load_model_dir:
         state = state._replace(params=load_params(state.params,
                                                   args.load_model_dir))
+    start_iter = 0
+    if args.resume:
+        # Exact preemption resume: params + opt_state + step (SURVEY.md §5.3
+        # — the reference has no failure recovery; weights-only warm start).
+        from active_tracking_rl_tpu.rl.checkpoint import load_train_state
+        ts_saved = load_train_state(args.resume)
+        state = state._replace(
+            params=jax.tree_util.tree_map(
+                lambda a, b: b, state.params, ts_saved["params"]),
+            opt_state=jax.tree_util.tree_map(
+                lambda a, b: b, state.opt_state, ts_saved["opt_state"]))
+        start_iter = int(ts_saved.get("step", 0))
+        log.info(f"resumed from {args.resume} at iter {start_iter}")
     state = shard_learner(mesh, state)
     shardings = learner_shardings(mesh, state)
     train_step = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
@@ -128,7 +146,13 @@ def main(argv=None):
     total = args.total_iters or tcfg.max_step
     env_steps_per_iter = tcfg.num_envs * tcfg.num_steps
     t_last = time.time()
-    for it in range(1, total + 1):
+    for it in range(start_iter + 1, total + 1):
+        if args.profile_dir and it == start_iter + 10:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and it == start_iter + 15:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            log.info(f"profiler trace written to {args.profile_dir}")
         cur = curriculum.update(tcfg, cur, it)
         params, opt_state, carry, m = train_step(
             params, opt_state, carry, jnp.int32(cur.mode))
@@ -165,7 +189,8 @@ def main(argv=None):
                 "test/success_rate": ev["S_rate"],
             })
             best = ckpt.save(jax.device_get(params),
-                             {"opt_state": jax.device_get(opt_state),
+                             {"params": jax.device_get(params),
+                              "opt_state": jax.device_get(opt_state),
                               "step": it},
                              float(ev["R_mean"][0]), it)
             log.info(

@@ -1,0 +1,176 @@
+"""Benchmark: env-steps/s/chip for the full training pipeline
+(vectorized Track2D rollout + dueling A2C update, BASELINE.json config 2:
+Track2D-BlockPartialNav-v0, maze-lstm tracker).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline provenance: the reference repo publishes no numbers (BASELINE.md).
+`vs_baseline` is measured against a faithful single-process emulation of the
+reference worker hot loop (batch-1 torch maze-lstm forward + A2C backward
+every 20 steps + NumPy env step, per SURVEY.md §3.2), scaled x16 workers (the
+README's 16-core CPU recipe, README.md:54-57). Run `python bench.py
+--measure-baseline` to (re)measure it on the current host; the stored value
+in BASELINE_MEASURED.json was measured on this image's CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+
+
+def measure_reference_emulation(seconds: float = 10.0) -> dict:
+    """Emulate the reference worker loop (train.py:69-95) in torch+numpy."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(1)  # main.py:3 OMP_NUM_THREADS=1
+
+    class MazeLSTM(nn.Module):  # maze-lstm tracker, batch 1 (SURVEY §2.3)
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(1, 16, 3, stride=2, padding=1)
+            self.c2 = nn.Conv2d(16, 32, 3, stride=2, padding=1)
+            self.fc = nn.Linear(512, 256)
+            self.lstm = nn.LSTMCell(256, 128)
+            self.actor = nn.Linear(128, 4)
+            self.critic = nn.Linear(128, 1)
+
+        def forward(self, x, hc):
+            x = torch.relu(self.c1(x))
+            x = torch.relu(self.c2(x))
+            x = torch.relu(self.fc(x.reshape(1, -1)))
+            h, c = self.lstm(x, hc)
+            return self.actor(h), self.critic(h), (h, c)
+
+    # two players (tracker + tat-ish target with doubled obs)
+    m0, m1 = MazeLSTM(), MazeLSTM()
+    opt = torch.optim.Adam(list(m0.parameters()) + list(m1.parameters()),
+                           lr=1e-3)
+    maze = (np.random.rand(94, 94) < 0.05).astype(np.uint8)
+    maze[0, :] = maze[-1, :] = maze[:, 0] = maze[:, -1] = 1
+    pos = np.array([[40, 40], [41, 41]])
+    deltas = np.array([[-1, 0], [1, 0], [0, -1], [0, 1]])
+
+    def env_step(a):
+        nonlocal pos
+        for i in range(2):
+            n = pos[i] + deltas[a[i]]
+            if maze[n[0], n[1]] == 0:
+                pos[i] = n
+        obs = []
+        for i in range(2):
+            crop = np.pad(maze, 6, constant_values=1)[
+                pos[i][0]:pos[i][0] + 13, pos[i][1]:pos[i][1] + 13].copy()
+            obs.append(crop.astype(np.float32))
+        d = float(np.linalg.norm(pos[0] - pos[1]))
+        return obs, max(1 - d / 3.0, -1.0)
+
+    steps = 0
+    t0 = time.time()
+    hc0 = (torch.zeros(1, 128), torch.zeros(1, 128))
+    hc1 = (torch.zeros(1, 128), torch.zeros(1, 128))
+    while time.time() - t0 < seconds:
+        buf = []
+        for _ in range(20):
+            o, r = env_step(np.random.randint(0, 4, 2))
+            x0 = torch.tensor(o[0])[None, None]
+            logits0, v0, hc0 = m0(x0, hc0)
+            logits1, v1, hc1 = m1(x0, hc1)
+            lp0 = torch.log_softmax(logits0, -1)
+            lp1 = torch.log_softmax(logits1, -1)
+            buf.append((lp0[0, 0] + lp1[0, 0], v0, v1, r))
+            steps += 1
+        loss = sum(-lp * r + 0.5 * (v0 - r) ** 2 + 0.5 * (v1 + r) ** 2
+                   for lp, v0, v1, r in buf).sum()
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(
+            list(m0.parameters()) + list(m1.parameters()), 50)
+        opt.step()
+        hc0 = (hc0[0].detach(), hc0[1].detach())
+        hc1 = (hc1[0].detach(), hc1[1].detach())
+    per_worker = steps / (time.time() - t0)
+    return {
+        "per_worker_steps_s": per_worker,
+        "workers": 16,
+        "baseline_env_steps_s": per_worker * 16,
+        "note": "reference worker emulation: batch-1 torch maze-lstm fwd x2 "
+                "players + A2C bwd per 20 steps + numpy env; x16 workers "
+                "(README.md:54-57)",
+    }
+
+
+def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
+              env_id: str = "Track2D-BlockPartialNav-v0",
+              network: str = "maze-lstm"):
+    import jax
+    import jax.numpy as jnp
+
+    from active_tracking_rl_tpu.config import (NetConfig, TrainConfig,
+                                               parse_env_id)
+    from active_tracking_rl_tpu.envs.env import TrackEnv
+    from active_tracking_rl_tpu.models.dueling import build_model
+    from active_tracking_rl_tpu.rl.learner import init_learner, make_train_step
+
+    tcfg = TrainConfig(env_id=env_id, num_envs=num_envs,
+                       reset_pool=max(num_envs // 8, 64),
+                       num_steps=num_steps, train_mode=0)
+    ncfg = NetConfig.from_name(network, aux="none")
+    ecfg = parse_env_id(env_id)
+    env = TrackEnv(ecfg)
+    model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+    state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
+    ts = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
+                 donate_argnums=(0, 1, 2))
+    p, o, c = state.params, state.opt_state, state.carry
+    mode = jnp.int32(0)
+    # warmup / compile
+    for _ in range(2):
+        p, o, c, m = ts(p, o, c, mode)
+    jax.block_until_ready(m.loss)
+    t0 = time.time()
+    for _ in range(iters):
+        p, o, c, m = ts(p, o, c, mode)
+    jax.block_until_ready(m.loss)
+    dt = time.time() - t0
+    return iters * num_envs * num_steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.measure_baseline:
+        ref = measure_reference_emulation()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(ref, f, indent=1)
+        print(json.dumps(ref))
+        return
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["baseline_env_steps_s"]
+
+    value = run_bench(num_envs=args.num_envs, iters=args.iters)
+    out = {
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "env-steps/s/chip (Track2D-BlockPartialNav train pipeline)",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
