@@ -48,16 +48,21 @@ def partial_obs(cfg: EnvConfig, maze_padded: jax.Array,
 
 
 def full_obs(cfg: EnvConfig, maze_padded: jax.Array, pos: jax.Array) -> jax.Array:
-    """-> (num_agents, S, S) uint8 (track_1v1.py:287-307)."""
+    """-> (num_agents, S, S) uint8 (track_1v1.py:287-307).
+
+    The reference paints agents in index order with NO own-cell repaint
+    (`_get_full_obs`, track_1v1.py:296-307): on tracker/target overlap both
+    observers see the later paint (color 4). Only the *partial* obs repaints
+    the observer's own color (track_1v1.py:313). Both agents therefore see
+    the identical painted maze.
+    """
     p = cfg.pob_size
     s = cfg.maze_size
     maze = jax.lax.dynamic_slice(maze_padded, (p, p), (s, s))
     painted = (maze
                .at[pos[0, 0], pos[0, 1]].set(2)
                .at[pos[1, 0], pos[1, 1]].set(4))
-    obs0 = painted.at[pos[0, 0], pos[0, 1]].set(2)
-    obs1 = painted.at[pos[1, 0], pos[1, 1]].set(4)
-    return jnp.stack([obs0, obs1])
+    return jnp.stack([painted, painted])
 
 
 def observe(cfg: EnvConfig, maze_padded: jax.Array, pos: jax.Array) -> jax.Array:

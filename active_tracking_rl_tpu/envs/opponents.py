@@ -119,11 +119,25 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
              spawn: jax.Array, first_goal: jax.Array) -> jax.Array:
     """(tape_len,) int8 tape simulating Navigator (navigator.py:11-63).
 
-    Per tick: if the target sits on its goal or its plan is exhausted,
-    replan — try up to 6 candidates for a reachable, non-trivial goal
-    (path length >= 1), falling back to 10 random actions (planB). Then act:
-    greedy descent on the active distance field with action-order tie-break,
-    or the random planB action. Movement follows env dynamics (wall -> stay).
+    Per tick: if the plan is exhausted, replan — try up to 6 candidates for
+    a reachable, non-trivial goal (path length >= 1), falling back to 10
+    random actions (planB). Then act: greedy descent on the active distance
+    field with action-order tie-break, or the random planB action. Movement
+    follows env dynamics (wall -> stay).
+
+    Replans fire on plan exhaustion ONLY, matching the reference exactly:
+    its `Navigator._goal_test` (navigator.py:65-70) always returns None
+    because goals are numpy arrays (neither the list nor the tuple branch
+    matches), so the goal-reached condition never triggers — in planB the
+    target keeps random-walking even if it lands on the goal.
+
+    Documented deviation: the reference samples a fresh uniform goal at
+    every replan (navigator.py:17); this tape draws from a pre-sampled pool
+    of `nav_goal_candidates` goals and wraps (`% g`) if an episode replans
+    more than g times. With the default pool of 16 and typical path lengths
+    of ~30-60 steps on an 82x82 map, an episode of <=500 steps replans
+    ~8-16 times, so wraps are rare; distributional impact is bounded by the
+    pool size (tested in tests/test_opponents.py).
     """
     na = cfg.num_actions
     g = cfg.nav_goal_candidates
@@ -133,7 +147,9 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
 
     def tick(carry, k):
         pos, goal_ptr, goal_cell, cur_field, remaining, planb = carry
-        need = (pos == goal_cell).all() | (remaining <= 0)
+        # Exhaustion-only replan: the reference's goal-reached test is dead
+        # code (navigator.py:65-70 returns None for numpy goals).
+        need = remaining <= 0
 
         # --- replan (navigator.py:15-38) ---
         try_idx = (goal_ptr + jnp.arange(_RETRIES, dtype=jnp.int32)) % g

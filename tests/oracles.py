@@ -40,10 +40,13 @@ def partial_obs(maze: np.ndarray, pos, agent_id, pob=6):
 
 
 def full_obs(maze: np.ndarray, pos, agent_id):
+    """track_1v1.py:296-307 (_get_full_obs): paint agents in index order,
+    later paint wins on overlap; NO own-cell repaint — both observers see
+    the same painted maze (agent_id is unused, kept for signature parity)."""
+    del agent_id
     full = maze.copy().astype(np.int64)
     full[pos[0][0], pos[0][1]] = 2
     full[pos[1][0], pos[1][1]] = 4
-    full[pos[agent_id][0], pos[agent_id][1]] = 2 + 2 * agent_id
     return full
 
 
@@ -66,6 +69,47 @@ def bfs_distance(maze: np.ndarray, goal) -> np.ndarray:
                 d[nr, nc] = d[r, c] + 1
                 q.append((nr, nc))
     return d
+
+
+def navigator_sim(maze: np.ndarray, spawn, first_goal, rng, ticks):
+    """Reference Navigator semantics oracle (navigator.py:11-63): replans
+    fire on plan exhaustion ONLY (`_goal_test` is dead code — numpy goals
+    match neither isinstance branch, navigator.py:65-70); each replan samples
+    FRESH uniform goals (up to 6 tries, navigator.py:22-31) before falling
+    back to 10 random actions (planB); movement is greedy shortest-path
+    descent (stands in for A*: same path lengths, tie-break may differ).
+    Returns (track, n_replans)."""
+    s = maze.shape[0]
+    free = np.argwhere(maze == 0)
+    pos = tuple(int(x) for x in spawn)
+
+    def plan(pos, goal):
+        for trial in range(6):
+            d = bfs_distance(maze, goal)
+            if 1 <= d[pos[0], pos[1]] < 16000:
+                return False, goal, d, int(d[pos[0], pos[1]])
+            goal = tuple(free[rng.randint(len(free))])
+        return True, goal, None, 10
+
+    planb, goal, field, remaining = plan(pos, tuple(int(x) for x in first_goal))
+    track = [pos]
+    n_replans = 0
+    for _ in range(ticks):
+        if remaining <= 0:
+            n_replans += 1
+            goal = tuple(free[rng.randint(len(free))])
+            planb, goal, field, remaining = plan(pos, goal)
+        if planb:
+            a = int(rng.randint(4))
+        else:
+            vals = [field[pos[0] + dr, pos[1] + dc]
+                    if 0 <= pos[0] + dr < s and 0 <= pos[1] + dc < s else 16000
+                    for dr, dc in DELTAS[:4]]
+            a = int(np.argmin(vals))
+        pos, _ = next_state(maze, pos, a)
+        track.append(pos)
+        remaining -= 1
+    return track, n_replans
 
 
 def gae_reference(rewards_t, values_t, bootstrap, gamma, tau):

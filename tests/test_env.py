@@ -108,6 +108,21 @@ def test_overlap_paints_own_color():
     assert obs[1, 6, 6] == 4 and (obs[1] != 2).all()
 
 
+def test_full_obs_overlap_no_own_repaint():
+    """Full obs never repaints the observer (track_1v1.py:296-307): on
+    overlap BOTH agents see the later paint (color 4), and both agents'
+    full observations are identical."""
+    cfg = fast_cfg(map_type="Empty", obs_type="Full", target_mode="Adv")
+    env = TrackEnv(cfg)
+    st, _ = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    st = st.replace(pos=jnp.array([[40, 40], [40, 40]], jnp.int32))
+    from active_tracking_rl_tpu.envs.observe import observe
+    obs = np.array(observe(cfg, st.maze, st.pos))
+    assert obs[0, 40, 40] == 4 and obs[1, 40, 40] == 4
+    assert (obs[0] != 2).all()
+    np.testing.assert_array_equal(obs[0], obs[1])
+
+
 def test_scripted_override_ignores_model_target_action():
     cfg = fast_cfg(map_type="Empty", target_mode="Ram")
     env = TrackEnv(cfg)

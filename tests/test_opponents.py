@@ -98,6 +98,34 @@ def test_nav_tape_planb_on_unreachable_goals():
     assert set(track) == {(40, 40)}
 
 
+def test_nav_tape_distribution_matches_reference_oracle():
+    """Deviation audit (pre-sampled goal pool vs the reference's fresh
+    per-replan sampling): the tape navigator's wandering statistics —
+    unique cells visited and total displacement over a long horizon — must
+    fall in the same range as a NumPy oracle implementing the reference's
+    exact exhaustion-only-replan semantics (navigator.py:11-63)."""
+    from tests.oracles import navigator_sim
+    cfg = dataclasses.replace(EnvConfig(map_type="Block", target_mode="Nav",
+                                        level=1), tape_len=400)
+    ticks = 400
+    tape_visits, oracle_visits = [], []
+    for seed in range(3):
+        m = maps.generate_block_map(cfg, jax.random.PRNGKey(100 + seed))
+        mn = np.array(m)
+        pos, goals = maps.sample_spawns(cfg, jax.random.PRNGKey(200 + seed), m)
+        spawn, goal1 = np.array(pos)[1], np.array(goals)[1]
+        tape = np.array(nav_tape(cfg, jax.random.PRNGKey(300 + seed), m,
+                                 jnp.array(spawn), jnp.array(goal1)))
+        track = _simulate(mn, spawn, tape[:ticks])
+        tape_visits.append(len(set(track)))
+        rng = np.random.RandomState(400 + seed)
+        otrack, _ = navigator_sim(mn, spawn, goal1, rng, ticks)
+        oracle_visits.append(len(set(otrack)))
+    tv, ov = np.mean(tape_visits), np.mean(oracle_visits)
+    # same order of magnitude of map coverage (loose: stochastic quantities)
+    assert 0.5 * ov <= tv <= 2.0 * ov, (tape_visits, oracle_visits)
+
+
 def test_rpf_tape_cycles_patrol_goals():
     cfg = EnvConfig(map_type="Empty", target_mode="RPF")
     patrol = maps.patrol_goals(cfg)
