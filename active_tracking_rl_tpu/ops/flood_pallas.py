@@ -32,8 +32,19 @@ INF32 = 16000  # plain int: jnp scalars would be captured consts in the kernel
 _G_BLOCK = 8
 
 
+#: convergence-check cadence: run this many sweeps, then compare against the
+#: pre-chunk field and exit when nothing changed (relaxation is idempotent at
+#: the fixpoint). Amortizes the full-array compare+reduce to ~3% overhead.
+_CHECK_EVERY = 16
+
+
 def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
-    """One program: relax a (Gb, S, S) field block for `iters` sweeps."""
+    """One program: relax a (Gb, S, S) field block to convergence.
+
+    BFS distance needs one sweep per unit of eccentricity from the goal
+    (typically 100-180 on these maps); `iters` is only the safety cap — the
+    while_loop exits as soon as a _CHECK_EVERY-sweep chunk changes nothing.
+    """
     wall = (maze_ref[:] != 0)[None, :, :]          # (1, S, S) -> broadcast
     s0, s1 = d0_ref.shape[1], d0_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 1)
@@ -43,7 +54,7 @@ def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
     first_c = cols == 0
     last_c = cols == s1 - 1
 
-    def body(_, d):
+    def sweep(_, d):
         # neighbor value arriving from row-1 / row+1 / col-1 / col+1;
         # grid-edge arrivals masked to INF (no wraparound neighbors).
         # pltpu.roll requires non-negative shifts: size-1 == circular -1.
@@ -56,18 +67,37 @@ def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
         nd = jnp.minimum(d, best + 1)
         return jnp.where(wall, INF32, nd)
 
-    out_ref[:] = jax.lax.fori_loop(0, iters, body, d0_ref[:])
+    def cond(c):
+        _, i, changed = c
+        return changed & (i < iters)
+
+    def chunk(c):
+        d, i, _ = c
+        nd = jax.lax.fori_loop(0, _CHECK_EVERY, sweep, d)
+        return nd, i + _CHECK_EVERY, jnp.any(nd != d)
+
+    d, _, _ = jax.lax.while_loop(
+        cond, chunk, (d0_ref[:], jnp.int32(0), jnp.bool_(True)))
+    out_ref[:] = d
 
 
 def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
-    """(S,S) uint8 x (G,2) i32 -> (G,S,S) i32 initial field (0 at goal)."""
+    """(S,S) uint8 x (G,2) i32 -> (G,S,S) i32 initial field (0 at goal).
+
+    Built with a broadcast-compare mask, NOT `.at[goal].set`: the scatter
+    formulation silently dropped most seeds under nested vmap at batch
+    >= ~128 (jax 0.9.0, CPU and TPU) — whole fields came out INF, so on-TPU
+    navigators degraded to planB random walks. Regression-tested at pool
+    scale in tests/test_flood_pallas.py.
+    """
     s = maze.shape[-1]
     wall = maze != 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
 
     def one(g):
-        d = jnp.where(wall, INF32, INF32)
-        return d.at[g[0], g[1]].set(
-            jnp.where(wall[g[0], g[1]], INF32, 0))
+        is_goal = (rows == g[0]) & (cols == g[1]) & ~wall
+        return jnp.where(is_goal, 0, INF32)
 
     return jax.vmap(one)(goals)
 
