@@ -137,6 +137,16 @@ class NetConfig:
     rnn_out: int = 128          # main.py:47
     stack_frames: int = 1       # main.py:45
     aux_reward: bool = True     # --aux reward (main.py:33)
+    #: mixed precision: cast matmul/conv inputs (activations + weights) to
+    #: bfloat16 so they tile onto the MXU at double rate; accumulation,
+    #: biases, gate nonlinearities and both heads stay float32. Params are
+    #: stored float32 — checkpoints are precision-independent.
+    bf16: bool = False
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as _jnp
+        return _jnp.bfloat16 if self.bf16 else _jnp.float32
 
     @classmethod
     def from_name(cls, name: str, rnn_out: int = 128, stack_frames: int = 1,
@@ -197,13 +207,12 @@ class TrainConfig:
     #: reset-pool rows generated per learner iteration; fresh episodes are
     #: drawn from this pool when rows terminate mid-rollout.
     reset_pool: int = 256
-    #: loss normalization across the batch: "mean" (standard sync A2C) keeps
-    #: the per-sample math of player_util.py:128-154 and averages rollouts.
-    batch_reduce: str = "mean"
 
     log_dir: str = "logs"
     checkpoint_every: int = 200      # learner iterations between eval+ckpt
-    bf16: bool = False               # bfloat16 matmuls/convs in the model
+    #: bfloat16 matmul/conv inputs in the model (f32 params, f32 heads) —
+    #: forwarded into NetConfig.bf16 by the trainer CLI.
+    bf16: bool = False
 
 
 # README-reproducing presets (README.md:52,63,67,71,97,104).

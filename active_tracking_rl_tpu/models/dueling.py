@@ -45,12 +45,13 @@ class A3CPlayer(nn.Module):
 
     @nn.compact
     def __call__(self, obs, h, c) -> PlayerOut:
-        feat = make_encoder(self.cfg.encoder)(obs)
+        dt = self.cfg.compute_dtype if self.cfg.bf16 else None
+        feat = make_encoder(self.cfg.encoder, dt)(obs)
         if self.cfg.rnn == "lstm":
-            h, c = LSTMCell(self.cfg.rnn_out)(feat, h, c)
+            h, c = LSTMCell(self.cfg.rnn_out, dtype=dt)(feat, h, c)
             feat = h
         elif self.cfg.rnn == "gru":
-            h, c = GRUCell(self.cfg.rnn_out)(feat, h, c)
+            h, c = GRUCell(self.cfg.rnn_out, dtype=dt)(feat, h, c)
             feat = h
         value = ValueNet()(feat)
         pol, sigma = PolicyNet(self.num_actions, self.cfg.continuous)(feat)
@@ -64,15 +65,16 @@ class TATPlayer(nn.Module):
 
     @nn.compact
     def __call__(self, obs, h, c, action_tracker) -> PlayerOut:
-        feat = make_encoder(self.cfg.encoder)(obs)
+        dt = self.cfg.compute_dtype if self.cfg.bf16 else None
+        feat = make_encoder(self.cfg.encoder, dt)(obs)
         f_a = nn.Dense(feat.shape[-1], kernel_init=ref_uniform_linear,
                        bias_init=zeros, name="fc_action_tracker")(action_tracker)
         feat = feat + f_a
         if self.cfg.rnn == "lstm":
-            h, c = LSTMCell(self.cfg.rnn_out)(feat, h, c)
+            h, c = LSTMCell(self.cfg.rnn_out, dtype=dt)(feat, h, c)
             feat = h
         elif self.cfg.rnn == "gru":
-            h, c = GRUCell(self.cfg.rnn_out)(feat, h, c)
+            h, c = GRUCell(self.cfg.rnn_out, dtype=dt)(feat, h, c)
             feat = h
         value = ValueNet()(feat)
         pol, sigma = PolicyNet(self.num_actions, self.cfg.continuous)(feat)

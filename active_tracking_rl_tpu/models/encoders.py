@@ -19,10 +19,12 @@ import jax.numpy as jnp
 from active_tracking_rl_tpu.models.init import ref_uniform_conv, ref_uniform_linear, zeros
 
 
-def _conv(features, kernel, stride, padding):
+def _conv(features, kernel, stride, padding, dtype=None):
+    # dtype=bfloat16 casts inputs + kernel for the conv (MXU double-rate);
+    # params stay float32 (flax param_dtype default).
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(padding, padding), (padding, padding)],
-                   kernel_init=ref_uniform_conv, bias_init=zeros)
+                   kernel_init=ref_uniform_conv, bias_init=zeros, dtype=dtype)
 
 
 def _maxpool2(x):
@@ -33,25 +35,33 @@ def _maxpool2(x):
 
 
 class _StackedConvEncoder(nn.Module):
-    """Shared skeleton: fold stack into batch, conv, flatten stack*feat."""
+    """Shared skeleton: fold stack into batch, conv, flatten stack*feat.
+
+    With ``dtype=bfloat16`` the convolutions and fc run with bf16 inputs
+    (relu between them stays in bf16 — precision-insensitive); the returned
+    features are always float32 so RNN state and heads are unaffected.
+    """
 
     def conv_stack(self, x):  # pragma: no cover - overridden
         raise NotImplementedError
 
     has_fc: bool = True
     fc_out: int = 256
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, k = x.shape[0], x.shape[1]
         x = x.reshape((b * k,) + x.shape[2:])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = self.conv_stack(x)
         x = x.reshape(b, -1)  # (B, k * conv_feat)
         if self.has_fc:
             x = nn.Dense(self.fc_out, kernel_init=ref_uniform_linear,
-                         bias_init=zeros)(x)
+                         bias_init=zeros, dtype=self.dtype)(x)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class CNNMaze(_StackedConvEncoder):
@@ -59,8 +69,8 @@ class CNNMaze(_StackedConvEncoder):
     conv(16,3,s2,p1) relu, conv(32,3,s2,p1) relu, fc 256 relu."""
 
     def conv_stack(self, x):
-        x = nn.relu(_conv(16, 3, 2, 1)(x))
-        x = nn.relu(_conv(32, 3, 2, 1)(x))
+        x = nn.relu(_conv(16, 3, 2, 1, self.dtype)(x))
+        x = nn.relu(_conv(32, 3, 2, 1, self.dtype)(x))
         return x
 
 
@@ -68,8 +78,8 @@ class ICML(_StackedConvEncoder):
     """perception.py:41-65 — conv(16,8,s4,p2) relu, conv(32,4,s2,p1) relu, fc 256."""
 
     def conv_stack(self, x):
-        x = nn.relu(_conv(16, 8, 4, 2)(x))
-        x = nn.relu(_conv(32, 4, 2, 1)(x))
+        x = nn.relu(_conv(16, 8, 4, 2, self.dtype)(x))
+        x = nn.relu(_conv(32, 4, 2, 1, self.dtype)(x))
         return x
 
 
@@ -79,18 +89,18 @@ class CNNSimple(_StackedConvEncoder):
     has_fc: bool = False
 
     def conv_stack(self, x):
-        x = nn.relu(_maxpool2(_conv(32, 5, 1, 2)(x)))
-        x = nn.relu(_maxpool2(_conv(32, 5, 1, 1)(x)))
-        x = nn.relu(_maxpool2(_conv(64, 4, 1, 1)(x)))
-        x = nn.relu(_maxpool2(_conv(64, 3, 1, 1)(x)))
+        x = nn.relu(_maxpool2(_conv(32, 5, 1, 2, self.dtype)(x)))
+        x = nn.relu(_maxpool2(_conv(32, 5, 1, 1, self.dtype)(x)))
+        x = nn.relu(_maxpool2(_conv(64, 4, 1, 1, self.dtype)(x)))
+        x = nn.relu(_maxpool2(_conv(64, 3, 1, 1, self.dtype)(x)))
         return x
 
 
-def make_encoder(name: str) -> nn.Module:
+def make_encoder(name: str, dtype=None) -> nn.Module:
     if name == "maze":
-        return CNNMaze()
+        return CNNMaze(dtype=dtype)
     if name == "icml":
-        return ICML()
+        return ICML(dtype=dtype)
     if name == "cnn":
-        return CNNSimple()
+        return CNNSimple(dtype=dtype)
     raise ValueError(f"unknown encoder {name!r}")

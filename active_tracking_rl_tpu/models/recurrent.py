@@ -16,10 +16,20 @@ import jax.numpy as jnp
 from active_tracking_rl_tpu.models.init import torch_rnn_uniform, zeros
 
 
+def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Matmul with optional bf16 inputs; result cast back to f32 so bias adds
+    and gate nonlinearities stay full precision (the mixed-precision recipe:
+    only the MXU-bound contraction runs at reduced precision)."""
+    if dtype is None:
+        return x @ w
+    return (x.astype(dtype) @ w.astype(dtype)).astype(jnp.float32)
+
+
 class LSTMCell(nn.Module):
     """torch nn.LSTMCell: gates [i, f, g, o] from x@W_ih^T + b_ih + h@W_hh^T + b_hh."""
 
     hidden: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray,
@@ -30,7 +40,7 @@ class LSTMCell(nn.Module):
         w_hh = self.param("w_hh", init, (self.hidden, h4))
         b_ih = self.param("b_ih", zeros, (h4,))
         b_hh = self.param("b_hh", zeros, (h4,))
-        gates = x @ w_ih + b_ih + h @ w_hh + b_hh
+        gates = _mm(x, w_ih, self.dtype) + b_ih + _mm(h, w_hh, self.dtype) + b_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = nn.sigmoid(i)
         f = nn.sigmoid(f)
@@ -45,6 +55,7 @@ class GRUCell(nn.Module):
     """torch nn.GRUCell: r/z/n gates with the torch n-gate composition."""
 
     hidden: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray,
@@ -55,8 +66,8 @@ class GRUCell(nn.Module):
         w_hh = self.param("w_hh", init, (self.hidden, h3))
         b_ih = self.param("b_ih", zeros, (h3,))
         b_hh = self.param("b_hh", zeros, (h3,))
-        gi = x @ w_ih + b_ih
-        gh = h @ w_hh + b_hh
+        gi = _mm(x, w_ih, self.dtype) + b_ih
+        gh = _mm(h, w_hh, self.dtype) + b_hh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = nn.sigmoid(i_r + h_r)

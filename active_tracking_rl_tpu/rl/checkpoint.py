@@ -9,8 +9,10 @@ Reference semantics (test.py:111-127, main.py:81-85, gym_eval.py:74-92):
 
 Improvements over the reference (SURVEY.md §5.4): the reference saves
 weights only — optimizer state, step counter and PRNG are lost on resume.
-Here the full training state (params + opt_state + step + curriculum + key)
-is serialized, so preemption resume is exact.
+Here the full training state (params + opt_state + step + env carry
+[EnvState, frame stacks, RNN state, PRNG key] + curriculum phase +
+best-score watermark) is serialized, so preemption resume is bit-exact
+(tests/test_resume.py proves train->save->resume == uninterrupted).
 """
 
 from __future__ import annotations
@@ -68,6 +70,9 @@ class CheckpointManager:
                 save_file(os.path.join(self.log_dir, f"target-{tag}.msgpack"),
                           params["player1"])
         if train_state is not None:
+            # Inject the POST-update best-score watermark so resume restores
+            # the exact "is this a new best" state the run would have had.
+            train_state = dict(train_state, max_score=self.max_score)
             with open(os.path.join(self.log_dir, "train_state.pkl"), "wb") as f:
                 pickle.dump(_to_host(train_state), f)
         with open(os.path.join(self.log_dir, "ckpt_meta.json"), "w") as f:

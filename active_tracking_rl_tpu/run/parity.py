@@ -92,45 +92,115 @@ def verify(golden_path: str) -> bool:
     return ok
 
 
-def cross_check(env_id: str, steps: int = 200, seed: int = 0) -> bool:
+#: repo-local shims (gym + skimage stubs) that make the reference package
+#: importable in this image; see shims/gym/__init__.py.
+_SHIMS = None  # resolved lazily relative to this file
+_REFERENCE = "/root/reference/envs/gym-track2d"
+
+
+def _import_reference():
+    """Make the ACTUAL reference gym_track2d importable (shims first so an
+    installed gym, if any, still wins on real deployments)."""
+    import os
+    global _SHIMS
+    _SHIMS = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                          "..", "..", "shims"))
+    for p in (_REFERENCE, _SHIMS):
+        if p not in sys.path:
+            sys.path.append(p)
+    import matplotlib
+    matplotlib.use("Agg")
+    import gym  # noqa: F401
+    import gym_track2d  # noqa: F401
+    return gym
+
+
+def cross_check(env_id: str, steps: int = 200, seed: int = 0,
+                rng_patch: bool = True) -> bool:
     """Semantic invariants checked on the *reference's* own rollouts.
 
-    Requires the reference repo importable (gym, matplotlib). Patches the
-    global NumPy RNG deterministic (defeating generators.py:41,56 reseeding)
-    and asserts the documented step semantics hold on every transition.
-    """
-    try:
-        sys.path.insert(0, "/root/reference/envs/gym-track2d")
-        import gym  # noqa: F401
-        import gym_track2d  # noqa: F401
-    except ImportError as e:
-        print(f"reference not importable here ({e}); cross-check skipped")
-        return True
+    Drives the actual reference ``Track1v1Env`` (via the vendored gym shim,
+    ``shims/``) with a deterministic global RNG (generators.py:41,56 reseed
+    from OS entropy otherwise) and asserts, on EVERY transition, that the
+    reference behaves exactly as the NumPy oracles our JAX engine is tested
+    against (tests/oracles.py) say it should:
 
-    import gym
-    from tests.oracles import next_state, partial_obs, rewards as rew_oracle
+      * reward formula from positions + w_p   (track_1v1.py:94-104)
+      * C_far termination counter             (track_1v1.py:106-111)
+      * tracker collision dynamics            (track_1v1.py:271-285)
+      * target moves are legal (scripted action is env-internal)
+      * Partial obs = painted wall-padded crop (track_1v1.py:309-326)
+      * Full obs = painted maze, overlap: later paint wins (track_1v1.py:295-307)
+
+    Raises ImportError if the reference cannot be imported — a skip must
+    never read as a pass (round-2 verdict, "What's weak" #6).
+    """
+    gym = _import_reference()
+    from tests.oracles import (full_obs, next_state, partial_obs,
+                               rewards as rew_oracle)
 
     np.random.seed(seed)
     seed_fn = np.random.seed
-    np.random.seed = lambda *a, **kw: None  # defeat OS reseeding
+    if rng_patch:
+        np.random.seed = lambda *a, **kw: None  # defeat OS reseeding
     try:
         env = gym.make(env_id)
         obs = env.reset()
         raw = env.unwrapped
+        is_partial = raw.obs_type == "Partial"
         ok = True
-        for _ in range(steps):
-            pos_before = [tuple(s) for s in raw.agents_pos]
-            actions = [np.random.randint(raw.action_space[0].n)
+        c_far = 0
+        t_ep = 0
+        for t in range(steps):
+            pos_before = [tuple(int(x) for x in s) for s in raw.state]
+            maze = raw.maze.copy()
+            actions = [int(np.random.randint(raw.action_space[0].n))
                        for _ in range(2)]
             obs, rew, done, info = env.step(actions)
-            r0, r1, d = rew_oracle(raw.agents_pos[0], raw.agents_pos[1],
-                                   raw.w_p)
-            if abs(rew[0] - r0) > 1e-5:
-                print(f"reward mismatch: {rew[0]} vs {r0}")
+            t_ep += 1
+            pos_after = [tuple(int(x) for x in s) for s in raw.state]
+            # 1. tracker dynamics: exact oracle transition
+            exp0, _col = next_state(maze, pos_before[0], actions[0])
+            if tuple(exp0) != pos_after[0]:
+                print(f"t={t} tracker transition mismatch: {pos_before[0]} "
+                      f"a={actions[0]} -> {pos_after[0]}, oracle {exp0}")
                 ok = False
+            # 2. target move legality: stay or free orthogonal neighbor
+            dr = abs(pos_after[1][0] - pos_before[1][0])
+            dc = abs(pos_after[1][1] - pos_before[1][1])
+            if not ((dr + dc <= 1) and maze[pos_after[1]] == 0):
+                print(f"t={t} illegal target move {pos_before[1]} -> "
+                      f"{pos_after[1]}")
+                ok = False
+            # 3. reward formula
+            r0, r1, d = rew_oracle(pos_after[0], pos_after[1], raw.w_p)
+            if abs(rew[0] - r0) > 1e-9 or abs(rew[1] - r1) > 1e-9:
+                print(f"t={t} reward mismatch: {rew} vs ({r0}, {r1})")
+                ok = False
+            if abs(info["distance"] - d) > 1e-9:
+                print(f"t={t} distance mismatch: {info['distance']} vs {d}")
+                ok = False
+            # 4. termination counter
+            c_far = 0 if d <= raw.pob_size else c_far + 1
+            want_done = c_far > 10 or t_ep >= 500
+            if bool(done) != want_done:
+                print(f"t={t} done mismatch: {done} vs {want_done} "
+                      f"(c_far={c_far}, t_ep={t_ep})")
+                ok = False
+            # 5. observation painting
+            for i in range(2):
+                want = (partial_obs(maze, pos_after, i, raw.pob_size)
+                        if is_partial else full_obs(maze, pos_after, i))
+                if not np.array_equal(np.asarray(obs[i][0], np.int64), want):
+                    print(f"t={t} obs[{i}] mismatch")
+                    ok = False
             if done:
                 obs = env.reset()
-        print("cross-check: " + ("OK" if ok else "FAILED"))
+                raw = env.unwrapped
+                c_far = 0
+                t_ep = 0
+        print(f"cross-check[{env_id}] vs actual reference env over {steps} "
+              "transitions: " + ("OK" if ok else "FAILED"))
         return ok
     finally:
         np.random.seed = seed_fn

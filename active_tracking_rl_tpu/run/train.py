@@ -73,7 +73,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of iterations 10-15 "
                         "here (view with TensorBoard / xprof)")
     p.add_argument("--resume", default=None,
-                   help="checkpoint dir to resume params+opt_state+step from")
+                   help="checkpoint dir for exact resume: params, opt_state, "
+                        "step, env carry (incl. PRNG key), curriculum phase "
+                        "and best-score watermark are all restored")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmul/conv inputs in the model (params "
+                        "and heads stay f32)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="check every logged metric batch for NaN/Inf and "
+                        "abort with diagnostics (SURVEY.md §5.2)")
     return p
 
 
@@ -101,6 +109,8 @@ def main(argv=None):
                                    aux=args.aux)
     else:
         ncfg = net_config_for(tcfg)
+    if args.bf16:
+        ncfg = dataclasses.replace(ncfg, bf16=True)
 
     run_dir = os.path.join(tcfg.log_dir, tcfg.env_id,
                            datetime.now().strftime("%b%d_%H-%M"))
@@ -120,27 +130,47 @@ def main(argv=None):
         state = state._replace(params=load_params(state.params,
                                                   args.load_model_dir))
     start_iter = 0
+    resume_extras = None
     if args.resume:
-        # Exact preemption resume: params + opt_state + step (SURVEY.md §5.3
-        # — the reference has no failure recovery; weights-only warm start).
+        # Exact preemption resume (SURVEY.md §5.3 — the reference has no
+        # failure recovery, only weights-only warm start, main.py:81-85):
+        # params + opt_state + step + env carry (incl. PRNG key) +
+        # curriculum phase + best-score watermark.
         from active_tracking_rl_tpu.rl.checkpoint import load_train_state
         ts_saved = load_train_state(args.resume)
-        state = state._replace(
-            params=jax.tree_util.tree_map(
+        replace = {
+            "params": jax.tree_util.tree_map(
                 lambda a, b: b, state.params, ts_saved["params"]),
-            opt_state=jax.tree_util.tree_map(
-                lambda a, b: b, state.opt_state, ts_saved["opt_state"]))
+            "opt_state": jax.tree_util.tree_map(
+                lambda a, b: b, state.opt_state, ts_saved["opt_state"]),
+        }
+        if "carry" in ts_saved:
+            replace["carry"] = jax.tree_util.tree_map(
+                lambda a, b: b, state.carry, ts_saved["carry"])
+        state = state._replace(**replace)
         start_iter = int(ts_saved.get("step", 0))
-        log.info(f"resumed from {args.resume} at iter {start_iter}")
+        resume_extras = ts_saved
+        log.info(f"resumed from {args.resume} at iter {start_iter}"
+                 + (" (with env carry)" if "carry" in ts_saved else
+                    " (weights/opt only — old checkpoint format)"))
     state = shard_learner(mesh, state)
     shardings = learner_shardings(mesh, state)
     train_step = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
                          in_shardings=shardings,
                          donate_argnums=(0, 1, 2))
+    # Build the jitted eval program ONCE — re-jitting per checkpoint
+    # recompiled the 500-step protocol every 200 iters (round-2 verdict #6).
+    from active_tracking_rl_tpu.rl.evaluate import make_evaluator
+    evaluator = make_evaluator(model, env_base, ncfg, tcfg.test_eps)
 
     writer = MetricWriter(run_dir)
     ckpt = CheckpointManager(run_dir, split=tcfg.split)
     cur = curriculum.CurriculumState.initial(tcfg)
+    if resume_extras is not None:
+        if "curriculum" in resume_extras:
+            cur = curriculum.CurriculumState(**resume_extras["curriculum"])
+        if "max_score" in resume_extras:
+            ckpt.max_score = float(resume_extras["max_score"])
     params, opt_state, carry = state.params, state.opt_state, state.carry
 
     total = args.total_iters or tcfg.max_step
@@ -158,6 +188,13 @@ def main(argv=None):
             params, opt_state, carry, jnp.int32(cur.mode))
         if it % 50 == 0 or it == 1:
             m = jax.device_get(m)
+            if args.debug_nans:
+                bad = {f: v for f, v in zip(m._fields, m)
+                       if not np.all(np.isfinite(v))}
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite training metrics at iter {it}: {bad} "
+                        "(run with JAX_DEBUG_NANS=1 to trap the op)")
             dt = time.time() - t_last
             fps = 50 * env_steps_per_iter / dt if it > 1 else env_steps_per_iter / dt
             t_last = time.time()
@@ -181,7 +218,7 @@ def main(argv=None):
                      f"env-steps/s {fps:.0f}")
         if it % tcfg.checkpoint_every == 0 or it == total:
             ek = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed + 999), it)
-            ev = evaluate(model, env_base, ncfg, params, ek, tcfg.test_eps)
+            ev = evaluator(params, ek)
             writer.write(it, {
                 "test/reward0": ev["R_mean"][0],
                 "test/reward1": ev["R_mean"][1],
@@ -191,6 +228,8 @@ def main(argv=None):
             best = ckpt.save(jax.device_get(params),
                              {"params": jax.device_get(params),
                               "opt_state": jax.device_get(opt_state),
+                              "carry": jax.device_get(carry),
+                              "curriculum": dataclasses.asdict(cur),
                               "step": it},
                              float(ev["R_mean"][0]), it)
             log.info(
