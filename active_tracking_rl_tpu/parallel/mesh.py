@@ -33,7 +33,15 @@ class MeshSpec:
 
 def host_init(coordinator: Optional[str] = None, num_processes: int = 1,
               process_id: int = 0) -> None:
-    """Multi-host SPMD entry (replaces mp.Process spawning, main.py:106-116)."""
+    """Multi-host SPMD entry (replaces mp.Process spawning, main.py:106-116).
+
+    Call BEFORE any other jax API touches the backend. After this,
+    `jax.devices()` is the global device list, `jax.local_devices()` this
+    host's; the same jitted SPMD program runs on every process and XLA
+    routes the gradient all-reduce over ICI within a slice / DCN across
+    (SURVEY.md §2.8). Wired to the trainer CLI via
+    --coordinator/--num-processes/--process-id.
+    """
     if num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
@@ -55,16 +63,26 @@ def shard_learner(mesh: Mesh, learner_state, model_axes=None):
     gets its gradient all-reduce inserted automatically by XLA.
     """
     repl = NamedSharding(mesh, P())
+    multiproc = jax.process_count() > 1
+
+    def put_leaf(x, sh):
+        # Across processes, device_put of a locally-committed jax.Array to a
+        # sharding with non-addressable devices is rejected; hand XLA the
+        # host value instead (identical on every process — all init flows
+        # from the same PRNG key), letting each process place its shards.
+        if multiproc:
+            x = np.asarray(x)
+        return jax.device_put(x, sh)
 
     def put(tree, sh_tree):
-        return jax.tree_util.tree_map(jax.device_put, tree, sh_tree)
+        return jax.tree_util.tree_map(put_leaf, tree, sh_tree)
 
     shs = learner_shardings(mesh, learner_state)
     return type(learner_state)(
         params=put(learner_state.params, shs[0]),
         opt_state=put(learner_state.opt_state, shs[1]),
         carry=put(learner_state.carry, shs[2]),
-        step=jax.device_put(learner_state.step, repl),
+        step=put_leaf(learner_state.step, repl),
     )
 
 

@@ -82,6 +82,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="check every logged metric batch for NaN/Inf and "
                         "abort with diagnostics (SURVEY.md §5.2)")
+    # Multi-host SPMD (replaces mp.Process spawning, main.py:102-119): run
+    # one copy of this CLI per host with the same flags plus these three.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
     return p
 
 
@@ -101,6 +107,10 @@ def train_config_from_args(args) -> TrainConfig:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    # Must run before anything touches the JAX backend.
+    from active_tracking_rl_tpu.parallel.mesh import host_init
+    host_init(args.coordinator, args.num_processes, args.process_id)
+    is_lead = jax.process_index() == 0
     tcfg = train_config_from_args(args)
     from active_tracking_rl_tpu.config import NetConfig
     if args.network:
@@ -113,7 +123,8 @@ def main(argv=None):
         ncfg = dataclasses.replace(ncfg, bf16=True)
 
     run_dir = os.path.join(tcfg.log_dir, tcfg.env_id,
-                           datetime.now().strftime("%b%d_%H-%M"))
+                           datetime.now().strftime("%b%d_%H-%M")
+                           + (f"-r{jax.process_index()}" if not is_lead else ""))
     log = setup_logger(f"{tcfg.env_id}_log", os.path.join(run_dir, "logger"))
     for k, v in vars(args).items():
         log.info(f"{k}: {v}")
@@ -218,20 +229,30 @@ def main(argv=None):
                      f"env-steps/s {fps:.0f}")
         if it % tcfg.checkpoint_every == 0 or it == total:
             ek = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed + 999), it)
+            # every rank runs the eval program (SPMD); only the lead writes.
             ev = evaluator(params, ek)
-            writer.write(it, {
-                "test/reward0": ev["R_mean"][0],
-                "test/reward1": ev["R_mean"][1],
-                "test/eps_len": ev["EL_mean"],
-                "test/success_rate": ev["S_rate"],
-            })
-            best = ckpt.save(jax.device_get(params),
-                             {"params": jax.device_get(params),
+            if is_lead:
+                writer.write(it, {
+                    "test/reward0": ev["R_mean"][0],
+                    "test/reward1": ev["R_mean"][1],
+                    "test/eps_len": ev["EL_mean"],
+                    "test/success_rate": ev["S_rate"],
+                })
+            # ckpt.save also updates the best watermark; every rank tracks it
+            # (replicated scalar in, same decision out — SURVEY.md §5.8), but
+            # only the lead's CheckpointManager touches disk.
+            state_blob = None
+            if is_lead:
+                state_blob = {"params": jax.device_get(params),
                               "opt_state": jax.device_get(opt_state),
                               "carry": jax.device_get(carry),
                               "curriculum": dataclasses.asdict(cur),
-                              "step": it},
-                             float(ev["R_mean"][0]), it)
+                              "step": it}
+                best = ckpt.save(jax.device_get(params), state_blob,
+                                 float(ev["R_mean"][0]), it)
+            else:
+                best = ev["R_mean"][0] >= ckpt.max_score
+                ckpt.max_score = max(ckpt.max_score, float(ev["R_mean"][0]))
             log.info(
                 f"eval iter {it}: R {ev['R_mean'].round(2)} EL "
                 f"{float(ev['EL_mean']):.1f} S {float(ev['S_rate']):.2f}"
