@@ -40,6 +40,8 @@ def build_argparser():
 
 
 def main(argv=None):
+    from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
+    respect_jax_platforms()
     args = build_argparser().parse_args(argv)
     log = setup_logger(f"{args.env}_mon_log",
                        os.path.join(args.log_dir, f"{args.env}_mon_log"))

@@ -207,6 +207,8 @@ def cross_check(env_id: str, steps: int = 200, seed: int = 0,
 
 
 def main(argv=None):
+    from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
+    respect_jax_platforms()
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
     pr = sub.add_parser("record")

@@ -107,6 +107,8 @@ def train_config_from_args(args) -> TrainConfig:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
+    respect_jax_platforms()
     # Must run before anything touches the JAX backend.
     from active_tracking_rl_tpu.parallel.mesh import host_init
     host_init(args.coordinator, args.num_processes, args.process_id)

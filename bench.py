@@ -109,7 +109,8 @@ def measure_reference_emulation(seconds: float = 10.0) -> dict:
 
 def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
               env_id: str = "Track2D-BlockPartialNav-v0",
-              network: str = "maze-lstm"):
+              network: str = "maze-lstm", train_mode: int = 0,
+              bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -121,8 +122,12 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
 
     tcfg = TrainConfig(env_id=env_id, num_envs=num_envs,
                        reset_pool=max(num_envs // 8, 64),
-                       num_steps=num_steps, train_mode=0)
-    ncfg = NetConfig.from_name(network, aux="none")
+                       num_steps=num_steps, train_mode=train_mode)
+    aux = "reward" if "tat" in network else "none"
+    ncfg = NetConfig.from_name(network, aux=aux)
+    if bf16:
+        import dataclasses
+        ncfg = dataclasses.replace(ncfg, bf16=True)
     ecfg = parse_env_id(env_id)
     env = TrackEnv(ecfg)
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
@@ -130,7 +135,7 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
     ts = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
                  donate_argnums=(0, 1, 2))
     p, o, c = state.params, state.opt_state, state.carry
-    mode = jnp.int32(0)
+    mode = jnp.int32(train_mode if train_mode >= 0 else -1)
     # warmup / compile
     for _ in range(2):
         p, o, c, m = ts(p, o, c, mode)
@@ -144,10 +149,19 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
 
 
 def main():
+    from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
+    respect_jax_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--env", default="Track2D-BlockPartialNav-v0")
+    ap.add_argument("--network", default="maze-lstm")
+    ap.add_argument("--train-mode", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="num_envs sweep + tat-PZR + bf16 configs; prints a "
+                         "JSON dict instead of the one-line contract")
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -157,12 +171,29 @@ def main():
         print(json.dumps(ref))
         return
 
+    if args.sweep:
+        out = {}
+        for ne in (1024, 4096, 16384):
+            out[f"nav_maze-lstm_n{ne}"] = round(run_bench(num_envs=ne), 1)
+        out["nav_maze-lstm_n4096_bf16"] = round(
+            run_bench(num_envs=4096, bf16=True), 1)
+        out["pzr_tat-maze-lstm_n4096"] = round(run_bench(
+            num_envs=4096, env_id="Track2D-BlockPartialPZR-v0",
+            network="tat-maze-lstm", train_mode=-1), 1)
+        out["pzr_tat-maze-lstm_n4096_bf16"] = round(run_bench(
+            num_envs=4096, env_id="Track2D-BlockPartialPZR-v0",
+            network="tat-maze-lstm", train_mode=-1, bf16=True), 1)
+        print(json.dumps(out, indent=1))
+        return
+
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["baseline_env_steps_s"]
 
-    value = run_bench(num_envs=args.num_envs, iters=args.iters)
+    value = run_bench(num_envs=args.num_envs, iters=args.iters,
+                      env_id=args.env, network=args.network,
+                      train_mode=args.train_mode, bf16=args.bf16)
     out = {
         "metric": "env_steps_per_s_per_chip",
         "value": round(value, 1),

@@ -10,6 +10,10 @@ Times, on the real chip:
 import json
 import time
 
+from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
+
+respect_jax_platforms()
+
 import jax
 import jax.numpy as jnp
 

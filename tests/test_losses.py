@@ -177,9 +177,40 @@ def test_shared_adam_matches_torch_oracle():
     np.testing.assert_allclose(np.array(params["w"]), tp.numpy(), rtol=1e-5)
 
 
-def test_shared_rmsprop_runs():
-    opt = shared_rmsprop(7e-4)
-    params = {"w": jnp.ones(3)}
+@pytest.mark.parametrize("momentum,centered", [(0.0, False), (0.9, False),
+                                               (0.0, True), (0.9, True)])
+def test_shared_rmsprop_matches_torch_oracle(momentum, centered):
+    """SharedRMSprop semantics: eps added *after* sqrt, centered subtracts
+    grad_avg^2 before the sqrt, momentum buffer accumulates grad/avg
+    (shared_optim.py:62-85). Oracle in torch, line-for-line."""
+    rng = np.random.RandomState(11)
+    p0 = rng.randn(7).astype(np.float32)
+    grads = [rng.randn(7).astype(np.float32) for _ in range(6)]
+    lr, alpha, eps = 7e-4, 0.99, 0.1
+
+    opt = shared_rmsprop(lr, alpha, eps, momentum=momentum, centered=centered)
+    params = {"w": jnp.array(p0)}
     state = opt.init(params)
-    upd, state = opt.update({"w": jnp.ones(3)}, state, params)
-    assert np.isfinite(np.array(upd["w"])).all()
+    for g in grads:
+        upd, state = opt.update({"w": jnp.array(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+
+    # torch oracle (shared_optim.py:69-85)
+    tp = torch.tensor(p0.copy())
+    square_avg = torch.zeros(7)
+    grad_avg = torch.zeros(7)
+    buf = torch.zeros(7)
+    for g in grads:
+        tg = torch.tensor(g)
+        square_avg = alpha * square_avg + (1 - alpha) * tg * tg
+        if centered:
+            grad_avg = alpha * grad_avg + (1 - alpha) * tg
+            avg = (square_avg - grad_avg * grad_avg).sqrt() + eps
+        else:
+            avg = square_avg.sqrt() + eps
+        if momentum > 0:
+            buf = momentum * buf + tg / avg
+            tp = tp - lr * buf
+        else:
+            tp = tp - lr * tg / avg
+    np.testing.assert_allclose(np.array(params["w"]), tp.numpy(), rtol=1e-5)
