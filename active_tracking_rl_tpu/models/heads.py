@@ -78,3 +78,32 @@ def sample_continuous(mu: jnp.ndarray, sigma_raw: jnp.ndarray, key: jax.Array,
     log_prob = jnp.log(pdf + 1e-6)
     entropy = 0.5 * (jnp.log(2 * jnp.pi * sigma) + 1.0)
     return ActionSample(action, entropy, log_prob)
+
+
+def eval_discrete(logits: jnp.ndarray, action: jnp.ndarray
+                  ) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """(entropy (B,1), log_prob (B,1)) of a GIVEN action under `logits`.
+
+    Teacher-forced replay for host-env training (rl/host_loop.py): identical
+    numbers to sample_discrete at the stored action, but differentiable
+    w.r.t. the current params.
+    """
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(log_p)
+    entropy = -(log_p * p).sum(-1, keepdims=True)
+    log_prob = jnp.take_along_axis(log_p, action[:, None], axis=-1)
+    return entropy, log_prob
+
+
+def eval_continuous(mu: jnp.ndarray, sigma_raw: jnp.ndarray,
+                    action: jnp.ndarray
+                    ) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """(entropy, log_prob) of a GIVEN continuous action (model.py:24-39
+    density, sigma is a variance)."""
+    mu = jnp.clip(mu, -1.0, 1.0)
+    sigma = jax.nn.softplus(sigma_raw) + 1e-5
+    pdf = (jnp.exp(-((action - mu) ** 2) / (2 * sigma))
+           / jnp.sqrt(2 * sigma * jnp.pi))
+    log_prob = jnp.log(pdf + 1e-6)
+    entropy = 0.5 * (jnp.log(2 * jnp.pi * sigma) + 1.0)
+    return entropy, log_prob
