@@ -75,17 +75,23 @@ def bootstrap_values(model: DuelingModel, params, carry: TrainCarry,
 
 
 def make_train_step(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
-                    tcfg: TrainConfig, opt: optax.GradientTransformation):
-    """Returns train_step(params, opt_state, carry, mode) -> (params',
-    opt_state', carry', metrics). `mode` is a traced int32 so curriculum
-    switches (test.py:80-92) don't retrigger compilation."""
+                    tcfg: TrainConfig, opt: optax.GradientTransformation,
+                    external_pool: bool = False):
+    """Returns train_step(params, opt_state, carry, mode[, pool]) ->
+    (params', opt_state', carry', metrics). `mode` is a traced int32 so
+    curriculum switches (test.py:80-92) don't retrigger compilation.
+
+    `external_pool=True` adds a `pool=(EnvState[P], obs)` argument and skips
+    in-program pool generation — pair with `make_pool_fn` to amortize reset
+    generation over `--pool-refresh` iterations."""
 
     w_ent = tcfg.entropy
     w_ent_t = tcfg.entropy_target
     aux = net_cfg.tat and net_cfg.aux_reward
 
-    def loss_fn(params, carry: TrainCarry, mode):
-        traj, new_carry = run_rollout(model, env, tcfg, params, carry)
+    def loss_fn(params, carry: TrainCarry, mode, pool):
+        traj, new_carry = run_rollout(model, env, tcfg, params, carry,
+                                      pool=pool)
         kb = jax.random.fold_in(new_carry.key, 7)
         boot = bootstrap_values(model, params, new_carry, kb)  # (B, 2)
 
@@ -103,9 +109,11 @@ def make_train_step(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
         metrics_src = (stats, traj)
         return loss, (metrics_src, new_carry)
 
-    def train_step(params, opt_state, carry: TrainCarry, mode):
+    def train_step(params, opt_state, carry: TrainCarry, mode, pool=None):
+        if not external_pool:
+            pool = None
         (loss, ((stats, traj), new_carry)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, carry, mode)
+            loss_fn, has_aux=True)(params, carry, mode, pool)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         ep_count = traj.done.sum().astype(jnp.float32)
@@ -124,6 +132,18 @@ def make_train_step(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
         return params, opt_state, new_carry, metrics
 
     return train_step
+
+
+def make_pool_fn(env: TrackEnv, tcfg: TrainConfig):
+    """pool_fn(key) -> (EnvState[P], obs[P]) — the reset-pool generator as
+    its own program, so `--pool-refresh K` runs it every K-th iteration
+    instead of inside every train step (map gen + spawns + nav-tape floods
+    dominate the Nav-config step; see RESULTS.md §3)."""
+
+    def pool_fn(key):
+        return env.reset_batch(key, tcfg.reset_pool)
+
+    return pool_fn
 
 
 class LearnerState(NamedTuple):

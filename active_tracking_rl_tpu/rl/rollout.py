@@ -83,12 +83,24 @@ def init_carry(env: TrackEnv, net_cfg: NetConfig, num_envs: int,
 
 
 def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,
-                params, carry: TrainCarry,
-                test: bool = False) -> Tuple[Trajectory, TrainCarry]:
+                params, carry: TrainCarry, test: bool = False,
+                pool: Optional[Tuple[EnvState, chex.Array]] = None
+                ) -> Tuple[Trajectory, TrainCarry]:
     """T = tcfg.num_steps env steps for all rows. Differentiable through the
-    model applications (the 20-step BPTT window of the reference)."""
+    model applications (the 20-step BPTT window of the reference).
+
+    `pool`: optional externally generated reset pool (state, obs). When None
+    (default) a fresh pool is generated inside this program every call —
+    the reference's regenerate-per-reset semantics amortized per iteration.
+    Passing a pool lets the caller amortize generation over several
+    iterations (`--pool-refresh`); map/spawn/tape work (flood fields
+    dominate on Nav configs) then leaves the hot path entirely.
+    """
     k_pool, k_scan, k_next = jax.random.split(carry.key, 3)
-    pool_state, pool_obs = env.reset_batch(k_pool, tcfg.reset_pool)
+    if pool is None:
+        pool_state, pool_obs = env.reset_batch(k_pool, tcfg.reset_pool)
+    else:
+        pool_state, pool_obs = pool
     kcfg = model.cfg
 
     def step_fn(c, key_t):

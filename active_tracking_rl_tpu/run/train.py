@@ -79,6 +79,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul/conv inputs in the model (params "
                         "and heads stay f32)")
+    p.add_argument("--pool-refresh", type=int, default=1,
+                   help="regenerate the reset pool every K iterations as a "
+                        "separate program instead of inside every train "
+                        "step. K=1 (default) is the exact regenerate-per-"
+                        "iteration semantics; K>1 amortizes map/spawn/flood "
+                        "generation (the Nav-config bottleneck) at the cost "
+                        "of reusing reset maps K times longer")
     p.add_argument("--debug-nans", action="store_true",
                    help="check every logged metric batch for NaN/Inf and "
                         "abort with diagnostics (SURVEY.md §5.2)")
@@ -168,9 +175,19 @@ def main(argv=None):
                     " (weights/opt only — old checkpoint format)"))
     state = shard_learner(mesh, state)
     shardings = learner_shardings(mesh, state)
-    train_step = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
-                         in_shardings=shardings,
-                         donate_argnums=(0, 1, 2))
+    amortized_pool = args.pool_refresh > 1
+    if amortized_pool:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from active_tracking_rl_tpu.rl.learner import make_pool_fn
+        repl = NamedSharding(mesh, PartitionSpec())
+        pool_fn = jax.jit(make_pool_fn(env, tcfg), out_shardings=repl)
+        train_step = jax.jit(
+            make_train_step(model, env, ncfg, tcfg, opt, external_pool=True),
+            in_shardings=(*shardings, repl), donate_argnums=(0, 1, 2))
+    else:
+        train_step = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
+                             in_shardings=shardings,
+                             donate_argnums=(0, 1, 2))
     # Build the jitted eval program ONCE — re-jitting per checkpoint
     # recompiled the 500-step protocol every 200 iters (round-2 verdict #6).
     from active_tracking_rl_tpu.rl.evaluate import make_evaluator
@@ -197,8 +214,15 @@ def main(argv=None):
             jax.profiler.stop_trace()
             log.info(f"profiler trace written to {args.profile_dir}")
         cur = curriculum.update(tcfg, cur, it)
-        params, opt_state, carry, m = train_step(
-            params, opt_state, carry, jnp.int32(cur.mode))
+        if amortized_pool:
+            if (it - start_iter - 1) % args.pool_refresh == 0:
+                pool = pool_fn(jax.random.fold_in(
+                    jax.random.PRNGKey(tcfg.seed + 777), it))
+            params, opt_state, carry, m = train_step(
+                params, opt_state, carry, jnp.int32(cur.mode), pool)
+        else:
+            params, opt_state, carry, m = train_step(
+                params, opt_state, carry, jnp.int32(cur.mode))
         if it % 50 == 0 or it == 1:
             m = jax.device_get(m)
             if args.debug_nans:

@@ -110,7 +110,7 @@ def measure_reference_emulation(seconds: float = 10.0) -> dict:
 def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
               env_id: str = "Track2D-BlockPartialNav-v0",
               network: str = "maze-lstm", train_mode: int = 0,
-              bf16: bool = False):
+              bf16: bool = False, pool_refresh: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -132,17 +132,32 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
     env = TrackEnv(ecfg)
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
     state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
-    ts = jax.jit(make_train_step(model, env, ncfg, tcfg, opt),
+    amortized = pool_refresh > 1
+    ts = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
+                                 external_pool=amortized),
                  donate_argnums=(0, 1, 2))
+    if amortized:
+        from active_tracking_rl_tpu.rl.learner import make_pool_fn
+        pool_fn = jax.jit(make_pool_fn(env, tcfg))
     p, o, c = state.params, state.opt_state, state.carry
     mode = jnp.int32(train_mode if train_mode >= 0 else -1)
+
+    def step(it, p, o, c):
+        if amortized:
+            nonlocal pool
+            if it % pool_refresh == 0:
+                pool = pool_fn(jax.random.fold_in(jax.random.PRNGKey(7), it))
+            return ts(p, o, c, mode, pool)
+        return ts(p, o, c, mode)
+
+    pool = None
     # warmup / compile
-    for _ in range(2):
-        p, o, c, m = ts(p, o, c, mode)
+    for i in range(2):
+        p, o, c, m = step(i % pool_refresh, p, o, c)
     jax.block_until_ready(m.loss)
     t0 = time.time()
-    for _ in range(iters):
-        p, o, c, m = ts(p, o, c, mode)
+    for i in range(iters):
+        p, o, c, m = step(i, p, o, c)
     jax.block_until_ready(m.loss)
     dt = time.time() - t0
     return iters * num_envs * num_steps / dt
@@ -159,6 +174,7 @@ def main():
     ap.add_argument("--network", default="maze-lstm")
     ap.add_argument("--train-mode", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--pool-refresh", type=int, default=1)
     ap.add_argument("--sweep", action="store_true",
                     help="num_envs sweep + tat-PZR + bf16 configs; prints a "
                          "JSON dict instead of the one-line contract")
@@ -175,6 +191,9 @@ def main():
         out = {}
         for ne in (1024, 4096, 16384):
             out[f"nav_maze-lstm_n{ne}"] = round(run_bench(num_envs=ne), 1)
+        for k in (4, 16):
+            out[f"nav_maze-lstm_n4096_poolK{k}"] = round(
+                run_bench(num_envs=4096, pool_refresh=k), 1)
         out["nav_maze-lstm_n4096_bf16"] = round(
             run_bench(num_envs=4096, bf16=True), 1)
         out["pzr_tat-maze-lstm_n4096"] = round(run_bench(
@@ -193,7 +212,8 @@ def main():
 
     value = run_bench(num_envs=args.num_envs, iters=args.iters,
                       env_id=args.env, network=args.network,
-                      train_mode=args.train_mode, bf16=args.bf16)
+                      train_mode=args.train_mode, bf16=args.bf16,
+                      pool_refresh=args.pool_refresh)
     out = {
         "metric": "env_steps_per_s_per_chip",
         "value": round(value, 1),

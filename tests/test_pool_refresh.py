@@ -1,0 +1,72 @@
+"""Amortized reset pool (`--pool-refresh`): the externally generated pool is
+the SAME computation the train step runs internally, so feeding it the key
+the internal path would derive must reproduce the update bit-exactly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from active_tracking_rl_tpu.config import NetConfig, TrainConfig, parse_env_id
+from active_tracking_rl_tpu.envs.env import TrackEnv
+from active_tracking_rl_tpu.models.dueling import build_model
+from active_tracking_rl_tpu.rl.learner import (init_learner, make_pool_fn,
+                                               make_train_step)
+
+FAST = dict(nav_goal_candidates=4, flood_iters=96, tape_len=96)
+
+
+def _setup():
+    env_id = "Track2D-BlockPartialNav-v0"
+    ecfg = dataclasses.replace(parse_env_id(env_id), **FAST)
+    env = TrackEnv(ecfg)
+    tcfg = TrainConfig(env_id=env_id, num_envs=8, reset_pool=4, num_steps=4,
+                       train_mode=0)
+    ncfg = NetConfig.from_name("maze-lstm", aux="none")
+    model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+    state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
+    return env, tcfg, ncfg, model, state, opt
+
+
+def test_external_pool_bit_equals_internal():
+    env, tcfg, ncfg, model, state, opt = _setup()
+    ts_int = jax.jit(make_train_step(model, env, ncfg, tcfg, opt))
+    ts_ext = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
+                                     external_pool=True))
+    pool_fn = jax.jit(make_pool_fn(env, tcfg))
+
+    mode = jnp.int32(0)
+    p1, o1, c1, m1 = ts_int(state.params, state.opt_state, state.carry, mode)
+    # the internal path derives its pool key as split(carry.key, 3)[0]
+    # (rl/rollout.py run_rollout)
+    k_pool = jax.random.split(state.carry.key, 3)[0]
+    pool = pool_fn(k_pool)
+    p2, o2, c2, m2 = ts_ext(state.params, state.opt_state, state.carry, mode,
+                            pool)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(m1.loss), np.asarray(m2.loss))
+    np.testing.assert_array_equal(np.asarray(c1.obs_stack),
+                                  np.asarray(c2.obs_stack))
+
+
+def test_pool_reuse_across_iterations_runs():
+    """K>1 semantics: the same pool serves several updates; params keep
+    moving and metrics stay finite."""
+    env, tcfg, ncfg, model, state, opt = _setup()
+    ts_ext = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
+                                     external_pool=True))
+    pool_fn = jax.jit(make_pool_fn(env, tcfg))
+    pool = pool_fn(jax.random.PRNGKey(42))
+    p, o, c = state.params, state.opt_state, state.carry
+    for _ in range(3):
+        p, o, c, m = ts_ext(p, o, c, jnp.int32(0), pool)
+        assert np.isfinite(float(m.loss))
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(p),
+        jax.tree_util.tree_leaves(state.params)))
+    assert diff > 0
