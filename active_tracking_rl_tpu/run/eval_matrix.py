@@ -1,0 +1,96 @@
+"""Paper evaluation matrix in ONE process: every tracker x every env
+(reference README.md:74-83), one compile per env (the jitted evaluator from
+``make_evaluator`` is parameter-generic, so trackers share the executable).
+
+Usage:
+    python -m active_tracking_rl_tpu.run.eval_matrix \
+        --tracker advat=runs/r3-advat/.../tracker-best.msgpack \
+        --tracker ram=runs/r3-tracker-ram/.../tracker-best.msgpack \
+        --env Track2D-BlockPartialNav-v0 --env Track2D-MazePartialNav-v0 \
+        --out matrix.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+PAPER_ENVS = [
+    "Track2D-BlockPartialNav-v0",
+    "Track2D-BlockPartialRam-v0",
+    "Track2D-MazePartialNav-v0",
+    "Track2D-MazePartialRam-v0",
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tracker", action="append", required=True,
+                   help="name=path/to/tracker-best.msgpack (repeatable)")
+    p.add_argument("--target", action="append", default=[],
+                   help="name=path to a learned target; evaluated vs every "
+                        "tracker on --adv-env (README.md:85-88)")
+    p.add_argument("--env", action="append", default=None,
+                   help="env id (repeatable; default: the 4 paper envs)")
+    p.add_argument("--adv-env", default="Track2D-BlockPartialAdv-v0")
+    p.add_argument("--network", default="tat-maze-lstm")
+    p.add_argument("--num-episodes", type=int, default=100)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
+    respect_jax_platforms()
+
+    import jax
+
+    from active_tracking_rl_tpu.config import NetConfig, parse_env_id
+    from active_tracking_rl_tpu.envs.env import make_env
+    from active_tracking_rl_tpu.models.dueling import build_model
+    from active_tracking_rl_tpu.rl.checkpoint import load_params
+    from active_tracking_rl_tpu.rl.evaluate import make_evaluator
+
+    trackers = dict(t.split("=", 1) for t in args.tracker)
+    targets = dict(t.split("=", 1) for t in args.target)
+    envs = args.env or PAPER_ENVS
+    ncfg = NetConfig.from_name(args.network)
+    results: dict = {}
+
+    def run_cell(env_id, tracker_name, tracker_path, target_path=None):
+        ecfg = parse_env_id(env_id)
+        model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+        base = model.init(jax.random.PRNGKey(args.seed))
+        params = load_params(base, None, tracker_path, target_path)
+        ev = evaluator(params, jax.random.PRNGKey(args.seed))
+        row = {"R_mean": float(ev["R_mean"][0]),
+               "R_std": float(ev["R_std"][0]),
+               "EL_mean": float(ev["EL_mean"]),
+               "EL_std": float(ev["EL_std"]),
+               "S_rate": float(ev["S_rate"])}
+        key = tracker_name if target_path is None else f"{tracker_name}+target"
+        results.setdefault(env_id, {})[key] = row
+        print(env_id, key, json.dumps(row), flush=True)
+
+    for env_id in envs:
+        ecfg = parse_env_id(env_id)
+        env = make_env(env_id)
+        model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+        evaluator = make_evaluator(model, env, ncfg, args.num_episodes)
+        for name, path in trackers.items():
+            run_cell(env_id, name, path)
+
+    if targets:
+        env = make_env(args.adv_env)
+        ecfg = parse_env_id(args.adv_env)
+        model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+        evaluator = make_evaluator(model, env, ncfg, args.num_episodes)
+        for tname, tpath in trackers.items():
+            for gname, gpath in targets.items():
+                run_cell(args.adv_env, tname, tpath, gpath)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
