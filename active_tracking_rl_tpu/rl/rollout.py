@@ -68,13 +68,31 @@ def obs_to_model(obs_stack: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_carry(env: TrackEnv, net_cfg: NetConfig, num_envs: int,
-               key: jax.Array) -> TrainCarry:
+               key: jax.Array, chunk_max: int = 4096) -> TrainCarry:
     # jit: eager batched reset dispatches thousands of small ops (very slow
     # over a remote-TPU connection); as one program it is a single dispatch.
+    # The reset's flood-field scratch is O(rows x goals x S^2): one flat
+    # batch OOMs HBM above ~8k envs, so chunk the initial reset with a
+    # sequential lax.map over row groups (peak memory = one chunk; values
+    # identical — each row's reset depends only on its own key).
+    chunk = num_envs
+    while chunk > chunk_max:
+        assert chunk % 2 == 0, (
+            f"num_envs={num_envs} > 4096 must be divisible by 2 per halving")
+        chunk //= 2
+
     @jax.jit
     def _init(key):
         k_env, k_carry = jax.random.split(key)
-        state, obs = env.reset_batch(k_env, num_envs)
+        if chunk == num_envs:
+            state, obs = env.reset_batch(k_env, num_envs)
+        else:
+            keys = jax.random.split(k_env, num_envs).reshape(
+                num_envs // chunk, chunk, -1)
+            state, obs = jax.lax.map(
+                lambda ks: jax.vmap(env.reset)(ks), keys)
+            state, obs = jax.tree_util.tree_map(
+                lambda x: x.reshape(num_envs, *x.shape[2:]), (state, obs))
         obs_stack = _stack_fill(obs, net_cfg.stack_frames)
         hx = jnp.zeros((num_envs, 2, net_cfg.rnn_out), jnp.float32)
         return TrainCarry(state, obs_stack, hx, hx, k_carry)

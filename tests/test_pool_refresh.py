@@ -70,3 +70,19 @@ def test_pool_reuse_across_iterations_runs():
         jax.tree_util.tree_leaves(p),
         jax.tree_util.tree_leaves(state.params)))
     assert diff > 0
+
+
+def test_init_carry_chunked_bit_equal():
+    """Chunked initial reset (big-batch OOM guard) is bit-identical to the
+    flat one — each row's reset depends only on its own key."""
+    from active_tracking_rl_tpu.rl.rollout import init_carry
+    env_id = "Track2D-BlockPartialNav-v0"
+    ecfg = dataclasses.replace(parse_env_id(env_id), **FAST)
+    env = TrackEnv(ecfg)
+    ncfg = NetConfig.from_name("maze-lstm", aux="none")
+    k = jax.random.PRNGKey(5)
+    flat = init_carry(env, ncfg, 8, k)
+    chunked = init_carry(env, ncfg, 8, k, chunk_max=2)
+    for a, b in zip(jax.tree_util.tree_leaves(flat),
+                    jax.tree_util.tree_leaves(chunked)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
