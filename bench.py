@@ -174,7 +174,8 @@ def main():
     ap.add_argument("--network", default="maze-lstm")
     ap.add_argument("--train-mode", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--pool-refresh", type=int, default=1)
+    ap.add_argument("--pool-refresh", type=int, default=16,
+                    help="bench default 16: validated training config (RESULTS.md 1.5), 1.9x the K=1 headline")
     ap.add_argument("--sweep", action="store_true",
                     help="num_envs sweep + tat-PZR + bf16 configs; prints a "
                          "JSON dict instead of the one-line contract")
@@ -217,7 +218,8 @@ def main():
     out = {
         "metric": "env_steps_per_s_per_chip",
         "value": round(value, 1),
-        "unit": "env-steps/s/chip (Track2D-BlockPartialNav train pipeline)",
+        "unit": "env-steps/s/chip (Track2D-BlockPartialNav train "
+                f"pipeline, pool-refresh {args.pool_refresh})",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
     }
     print(json.dumps(out))
