@@ -180,7 +180,10 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec
         from active_tracking_rl_tpu.rl.learner import make_pool_fn
         repl = NamedSharding(mesh, PartitionSpec())
-        pool_fn = jax.jit(make_pool_fn(env, tcfg), out_shardings=repl)
+        # No out_shardings on pool_fn: the train step's in_shardings below
+        # already forces the pool replicated, and an output-sharding
+        # constraint here is redundant on a 1-device mesh.
+        pool_fn = jax.jit(make_pool_fn(env, tcfg))
         train_step = jax.jit(
             make_train_step(model, env, ncfg, tcfg, opt, external_pool=True),
             in_shardings=(*shardings, repl), donate_argnums=(0, 1, 2))
