@@ -47,6 +47,30 @@ class EnvState:
     dist: chex.Array
 
 
+# chex dataclasses are not auto-registered with flax.serialization (unlike
+# flax.struct ones); register EnvState so full-train-state checkpoints
+# (rl/checkpoint.py) can round-trip it through to_state_dict/from_state_dict.
+def _envstate_to_state_dict(x: EnvState):
+    from flax import serialization
+    return {f: serialization.to_state_dict(getattr(x, f))
+            for f in x.__dataclass_fields__}
+
+
+def _envstate_from_state_dict(x: EnvState, sd):
+    from flax import serialization
+    return x.replace(**{f: serialization.from_state_dict(getattr(x, f), sd[f])
+                        for f in x.__dataclass_fields__})
+
+
+def _register_serialization():
+    from flax import serialization
+    serialization.register_serialization_state(
+        EnvState, _envstate_to_state_dict, _envstate_from_state_dict)
+
+
+_register_serialization()
+
+
 def zeros_like_state(cfg: EnvConfig) -> EnvState:
     """A template EnvState with correct shapes/dtypes (single row)."""
     s = cfg.maze_size + 2 * cfg.pob_size

@@ -76,7 +76,7 @@ def _bench_step(args, dp, local_devices=None, process_rank=0):
     for _ in range(args.iters):
         par, o, c, m = ts(par, o, c, mode)
     jax.block_until_ready(m.loss)
-    return (time.time() - t0) / args.iters, num_envs
+    return (time.time() - t0) / args.iters, num_envs, tcfg.num_steps
 
 
 def _worker(args):
@@ -87,12 +87,12 @@ def _worker(args):
     os.environ.setdefault("XLA_FLAGS", "")
     from active_tracking_rl_tpu.parallel.mesh import host_init
     host_init(args.coordinator, args.num_processes, args.process_id)
-    dt, num_envs = _bench_step(args, dp=args.num_processes)
+    dt, num_envs, num_steps = _bench_step(args, dp=args.num_processes)
     if jax.process_index() == 0:
         print(json.dumps({
             "dp": args.num_processes, "num_envs": num_envs,
             "step_s": round(dt, 4),
-            "env_steps_per_s": round(num_envs * 20 / dt, 1),
+            "env_steps_per_s": round(num_envs * num_steps / dt, 1),
         }), flush=True)
 
 
@@ -117,19 +117,24 @@ def _run_multiproc(args) -> dict:
             env = dict(os.environ, JAX_PLATFORMS="cpu")
             procs.append(subprocess.Popen(
                 cmd, stdout=subprocess.PIPE if r == 0 else subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL, env=env, text=True,
+                stderr=subprocess.PIPE if r == 0 else subprocess.DEVNULL,
+                env=env, text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))))))
-        out, _ = procs[0].communicate(timeout=2400)
+        out, err = procs[0].communicate(timeout=2400)
         for pr in procs[1:]:
             pr.wait(timeout=60)
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        rows.append(json.loads(line))
-    base = rows[0]["env_steps_per_s"] / rows[0]["dp"]
-    for r in rows:
-        if "env_steps_per_s" in r:
-            r["weak_scaling_eff"] = round(
-                (r["env_steps_per_s"] / r["dp"]) / base, 3)
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"dp={n}: rank 0 produced no JSON result line.\n"
+                f"rank-0 stderr (tail):\n{err[-2000:]}")
+        rows.append(json.loads(lines[-1]))
+    done = [r for r in rows if "env_steps_per_s" in r]
+    base = done[0]["env_steps_per_s"] / done[0]["dp"] if done else 1.0
+    for r in done:
+        r["weak_scaling_eff"] = round(
+            (r["env_steps_per_s"] / r["dp"]) / base, 3)
     return {"mode": "multiproc (1 pinned core x 1 device per rank)",
             "physical_cores": ncores,
             "envs_per_device": args.envs_per_device, "rows": rows}

@@ -31,6 +31,54 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+#: train_state.msgpack format version (bump on layout changes).
+TRAIN_STATE_VERSION = 1
+
+
+def save_train_state(log_dir: str, train_state: Dict[str, Any]) -> None:
+    """Serialize the full training state with flax (msgpack), not pickle:
+    version-stable across python/library upgrades, same codec as the params
+    files. Structure (namedtuples, optax states) is flattened with
+    `to_state_dict`; `load_train_state` restores it against a template."""
+    blob = serialization.to_state_dict(_to_host(train_state))
+    payload = serialization.msgpack_serialize(
+        {"version": TRAIN_STATE_VERSION, "state": blob})
+    with open(os.path.join(log_dir, "train_state.msgpack"), "wb") as f:
+        f.write(payload)
+
+
+def load_train_state(log_dir: str,
+                     template: Optional[Dict[str, Any]] = None
+                     ) -> Dict[str, Any]:
+    """Load a train_state dir. `template` maps keys ("params", "opt_state",
+    "carry") to pytrees of the expected structure; matching entries are
+    restored into that structure via `from_state_dict`. Without a template,
+    new-format array trees come back as plain nested state dicts.
+
+    Falls back to the legacy pickle format (rounds <= 3) when only
+    train_state.pkl exists — those already hold real pytrees, so the
+    template is unnecessary there."""
+    p = os.path.join(log_dir, "train_state.msgpack")
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        version = payload.get("version")
+        if version != TRAIN_STATE_VERSION:
+            raise ValueError(
+                f"unsupported train_state version {version!r} in {p} "
+                f"(expected {TRAIN_STATE_VERSION})")
+        raw = payload["state"]
+        if template is not None:
+            raw = dict(raw)
+            for k, tmpl in template.items():
+                if k in raw:
+                    raw[k] = serialization.from_state_dict(tmpl, raw[k])
+        return raw
+    legacy = os.path.join(log_dir, "train_state.pkl")
+    with open(legacy, "rb") as f:
+        return pickle.load(f)
+
+
 def save_file(path: str, tree) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
@@ -72,9 +120,8 @@ class CheckpointManager:
         if train_state is not None:
             # Inject the POST-update best-score watermark so resume restores
             # the exact "is this a new best" state the run would have had.
-            train_state = dict(train_state, max_score=self.max_score)
-            with open(os.path.join(self.log_dir, "train_state.pkl"), "wb") as f:
-                pickle.dump(_to_host(train_state), f)
+            save_train_state(self.log_dir,
+                             dict(train_state, max_score=self.max_score))
         with open(os.path.join(self.log_dir, "ckpt_meta.json"), "w") as f:
             json.dump({"max_score": self.max_score, "n_iter": n_iter}, f)
         return best
@@ -103,7 +150,3 @@ def load_params(params_template, load_model: Optional[str] = None,
     return params
 
 
-def load_train_state(log_dir: str):
-    p = os.path.join(log_dir, "train_state.pkl")
-    with open(p, "rb") as f:
-        return pickle.load(f)

@@ -46,17 +46,19 @@ class HostBatch(NamedTuple):
     cx0: chex.Array
 
 
-def _obs_to_model(obs: np.ndarray) -> np.ndarray:
+def _obs_to_model(obs: np.ndarray, channel_first: bool = True) -> np.ndarray:
     """(B, P, k, ...) uint8/float -> (B, P, k, H, W, C) float32.
 
-    The create_env wrapper chain yields channel-FIRST per-frame obs
-    ((C, H, W), track_1v1.py:326 / ImagePreprocess); encoders here are
-    channel-last.
+    `channel_first` states the pool's per-frame layout explicitly (the
+    create_env wrapper chain yields channel-FIRST (C, H, W) frames,
+    track_1v1.py:326 / ImagePreprocess; encoders here are channel-last).
+    Channel-less (B, P, k, H, W) input gets a trailing channel axis either
+    way; 6-dim input is transposed only when channel_first.
     """
     o = np.asarray(obs, np.float32)
     if o.ndim == 5:                       # (B, P, k, H, W) -> add channel
         o = o[..., None]
-    elif o.ndim == 6 and o.shape[3] in (1, 3):   # (B, P, k, C, H, W)
+    elif o.ndim == 6 and channel_first:   # (B, P, k, C, H, W)
         o = np.moveaxis(o, 3, -1)
     return o
 
@@ -172,11 +174,13 @@ class HostTrainer:
     """
 
     def __init__(self, model: DuelingModel, net_cfg: NetConfig,
-                 tcfg: TrainConfig, pool, seed: int = 0):
+                 tcfg: TrainConfig, pool, seed: int = 0,
+                 channel_first: bool = True):
         self.model = model
         self.ncfg = net_cfg
         self.tcfg = tcfg
         self.pool = pool
+        self.channel_first = channel_first
         self.two_player = model.player1 is not None
         self.params = model.init(jax.random.PRNGKey(seed))
         self.opt = make_optimizer_for(net_cfg, tcfg, self.params)
@@ -190,7 +194,7 @@ class HostTrainer:
         P = 2 if self.two_player else 1
         self.hx = jnp.zeros((B, P, R), jnp.float32)
         self.cx = jnp.zeros((B, P, R), jnp.float32)
-        self.obs = _obs_to_model(pool.reset())
+        self.obs = _obs_to_model(pool.reset(), channel_first)
         self.ep_returns = np.zeros((B,), np.float64)
         self.ep_lens = np.zeros((B,), np.int64)
         self.finished_returns: list = []
@@ -215,7 +219,7 @@ class HostTrainer:
                 r = np.concatenate([r[:, :1], np.zeros_like(r[:, :1])], 1)
             elif r.shape[1] == 1:
                 r = np.concatenate([r, -r], 1)
-            self.obs = _obs_to_model(obs)
+            self.obs = _obs_to_model(obs, self.channel_first)
             self.ep_returns += r[:, 0]
             self.ep_lens += 1
             for i, d in enumerate(done):

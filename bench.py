@@ -114,6 +114,12 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
     import jax
     import jax.numpy as jnp
 
+    # Steady-state amortization: with K>1 the timed window must contain a
+    # whole number of refresh periods or the measured gen-per-iter ratio is
+    # not the claimed K.
+    if pool_refresh > 1 and iters % pool_refresh:
+        iters = ((iters // pool_refresh) + 1) * pool_refresh
+
     from active_tracking_rl_tpu.config import (NetConfig, TrainConfig,
                                                parse_env_id)
     from active_tracking_rl_tpu.envs.env import TrackEnv
@@ -174,8 +180,12 @@ def main():
     ap.add_argument("--network", default="maze-lstm")
     ap.add_argument("--train-mode", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--pool-refresh", type=int, default=16,
-                    help="bench default 16: validated training config (RESULTS.md 1.5), 1.9x the K=1 headline")
+    ap.add_argument("--pool-refresh", type=int, default=1,
+                    help="K=1 (default): exact reference regenerate-per-reset "
+                         "semantics, apples-to-apples with the measured "
+                         "baseline emulation. K>1 amortizes reset-pool "
+                         "generation (validated training config, RESULTS.md "
+                         "§1.5) and is reported in PERF_SWEEP.json")
     ap.add_argument("--sweep", action="store_true",
                     help="num_envs sweep + tat-PZR + bf16 configs; prints a "
                          "JSON dict instead of the one-line contract")

@@ -34,7 +34,14 @@ def test_resume_bit_exact(tmp_path):
                "step": 2},
               score=1.25, n_iter=2)
 
-    saved = load_train_state(str(tmp_path))
+    # New format on disk: flax msgpack, no pickle (round-3 verdict weak #5).
+    assert (tmp_path / "train_state.msgpack").exists()
+    assert not (tmp_path / "train_state.pkl").exists()
+
+    saved = load_train_state(str(tmp_path),
+                             template={"params": ls.params,
+                                       "opt_state": ls.opt_state,
+                                       "carry": ls.carry})
     assert saved["step"] == 2
     assert saved["max_score"] == 1.25          # post-update watermark
     assert saved["curriculum"]["phase_len"] == 7
@@ -50,6 +57,33 @@ def test_resume_bit_exact(tmp_path):
     assert _tree_equal(p, p3)
     assert _tree_equal(o, o3)
     assert _tree_equal(c, c3)
+
+
+def test_legacy_pickle_fallback(tmp_path):
+    """Checkpoints written by rounds <= 3 (train_state.pkl) must still load."""
+    import pickle
+
+    tcfg, ncfg, env, model, ls, ts = make_all()
+    legacy = {"params": jax.device_get(ls.params), "step": 5,
+              "max_score": 2.0}
+    with open(tmp_path / "train_state.pkl", "wb") as f:
+        pickle.dump(legacy, f)
+    saved = load_train_state(str(tmp_path))
+    assert saved["step"] == 5
+    assert _tree_equal(ls.params, jax.tree_util.tree_map(
+        jnp.asarray, saved["params"]))
+
+
+def test_version_mismatch_rejected(tmp_path):
+    from flax import serialization
+
+    import pytest
+
+    with open(tmp_path / "train_state.msgpack", "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"version": 999, "state": {}}))
+    with pytest.raises(ValueError, match="version"):
+        load_train_state(str(tmp_path))
 
 
 def test_watermark_is_post_update(tmp_path):
