@@ -152,23 +152,43 @@ class DuelingModel:
         """Joint forward (model.py:238-265).
 
         obs: (B, 2, k, H, W, 1) float; hx/cx: (B, 2, R).
-        Returns (values (B,2), actions (B,2), entropies (B,2), log_probs (B,2),
-        hx', cx', r_pred (B,1) or None).
+        Returns (values (B,2), actions (B,2) int32 | (B,2,A) f32 raw samples
+        for continuous, entropies (B,2), log_probs (B,2), hx', cx',
+        r_pred (B,1) or None).
         """
         k0, k1 = jax.random.split(key)
         out0 = self.tracker_fwd(params, obs[:, 0], hx[:, 0], cx[:, 0])
         s0 = self.sample(out0, k0, test)
+        cont = self.cfg.continuous
+
+        def agent_action(s: ActionSample):
+            # Continuous: hand back the RAW sample (B, A) — the consumer
+            # clamps/wraps for the env (player_util.py:49-51) and stores the
+            # raw value for teacher-forced replay (heads.ActionSample).
+            return s.raw_action if cont else s.action
+
+        def agent_stats(x):
+            # Continuous per-dim entropy/log_prob reduce to a per-agent
+            # scalar by mean over dims — the reference's `.mean()` over the
+            # (A,)-shaped per-agent loss rows (player_util.py:143-146)
+            # commutes to exactly this reduction.
+            return x.mean(-1, keepdims=True) if cont else x
+
         if self.single or self.player1 is None:
             hx1 = out0.h[:, None]
-            return (out0.value, s0.action[:, None], s0.entropy, s0.log_prob,
-                    hx1, out0.c[:, None], None)
+            return (out0.value, agent_action(s0)[:, None], agent_stats(s0.entropy),
+                    agent_stats(s0.log_prob), hx1, out0.c[:, None], None)
         out1 = self.target_fwd(params, obs[:, 0], obs[:, 1], hx[:, 1],
                                cx[:, 1], s0.action)
         s1 = self.sample(out1, k1, test)
         values = jnp.concatenate([out0.value, out1.value], axis=-1)
-        actions = jnp.stack([s0.action, s1.action], axis=-1)
-        entropies = jnp.concatenate([s0.entropy, s1.entropy], axis=-1)
-        log_probs = jnp.concatenate([s0.log_prob, s1.log_prob], axis=-1)
+        # discrete: (B, 2); continuous: (B, 2, A) raw samples
+        actions = jnp.stack([agent_action(s0), agent_action(s1)], axis=1) \
+            if cont else jnp.stack([s0.action, s1.action], axis=-1)
+        entropies = jnp.concatenate([agent_stats(s0.entropy),
+                                     agent_stats(s1.entropy)], axis=-1)
+        log_probs = jnp.concatenate([agent_stats(s0.log_prob),
+                                     agent_stats(s1.log_prob)], axis=-1)
         hx_new = jnp.stack([out0.h, out1.h], axis=1)
         cx_new = jnp.stack([out0.c, out1.c], axis=1)
         return values, actions, entropies, log_probs, hx_new, cx_new, out1.r_pred

@@ -7,7 +7,7 @@ can interleave with module applications inside one jitted program.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -43,9 +43,14 @@ class PolicyNet(nn.Module):
 
 
 class ActionSample(NamedTuple):
-    action: jnp.ndarray      # (B,) int32  | (B, A) f32 continuous
+    action: jnp.ndarray      # (B,) int32  | (B, A) f32 continuous (clamped)
     entropy: jnp.ndarray     # (B, 1)      | (B, A)
     log_prob: jnp.ndarray    # (B, 1)      | (B, A)
+    #: continuous only: the UNCLAMPED sample mu + sqrt(sigma)*eps. The
+    #: reference evaluates the density at this value, then clamps only the
+    #: env-facing action (model.py:34-38) — teacher-forced replay must use
+    #: this one to reproduce the rollout's log_prob.
+    raw_action: Optional[jnp.ndarray] = None
 
 
 def sample_discrete(logits: jnp.ndarray, key: jax.Array,
@@ -64,20 +69,25 @@ def sample_discrete(logits: jnp.ndarray, key: jax.Array,
 
 def sample_continuous(mu: jnp.ndarray, sigma_raw: jnp.ndarray, key: jax.Array,
                       test: bool = False) -> ActionSample:
-    """model.py:24-39: sigma = softplus + 1e-5 (a VARIANCE in the reference's
-    pdf, utils.py:75-81), action = clamp(mu + sqrt(sigma)*eps),
-    log_prob = log(pdf + 1e-6), entropy = 0.5*(log(2*pi*sigma) + 1)."""
+    """model.py:24-39 exactly: sigma = softplus + 1e-5 is a VARIANCE in the
+    reference's pdf (utils.py:75-81); the density/entropy are evaluated at
+    the UNCLAMPED sample mu + sqrt(sigma)*eps, and only the env-facing
+    action is clamped to [-1, 1]; log_prob = log(pdf + 1e-6),
+    entropy = 0.5*(log(2*pi*sigma) + 1).
+
+    `test` is accepted for signature parity but ignored: the reference's
+    sample_action has no test branch for continuous heads (model.py:24-39 —
+    3D evaluation runs stochastic actions)."""
+    del test
     mu = jnp.clip(mu, -1.0, 1.0)
     sigma = jax.nn.softplus(sigma_raw) + 1e-5
     eps = jax.random.normal(key, mu.shape)
-    action = mu + jnp.sqrt(sigma) * eps
-    action = jnp.where(jnp.bool_(test), mu, action)
-    action = jnp.clip(action, -1.0, 1.0)
-    act = jax.lax.stop_gradient(action)
-    pdf = jnp.exp(-((act - mu) ** 2) / (2 * sigma)) / jnp.sqrt(2 * sigma * jnp.pi)
+    raw = jax.lax.stop_gradient(mu + jnp.sqrt(sigma) * eps)
+    pdf = jnp.exp(-((raw - mu) ** 2) / (2 * sigma)) / jnp.sqrt(2 * sigma * jnp.pi)
     log_prob = jnp.log(pdf + 1e-6)
     entropy = 0.5 * (jnp.log(2 * jnp.pi * sigma) + 1.0)
-    return ActionSample(action, entropy, log_prob)
+    action = jnp.clip(raw, -1.0, 1.0)
+    return ActionSample(action, entropy, log_prob, raw)
 
 
 def eval_discrete(logits: jnp.ndarray, action: jnp.ndarray
@@ -99,7 +109,9 @@ def eval_continuous(mu: jnp.ndarray, sigma_raw: jnp.ndarray,
                     action: jnp.ndarray
                     ) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """(entropy, log_prob) of a GIVEN continuous action (model.py:24-39
-    density, sigma is a variance)."""
+    density, sigma is a variance). `action` must be the RAW (unclamped)
+    sample stored at rollout time (ActionSample.raw_action) — the reference
+    evaluates the density before clamping."""
     mu = jnp.clip(mu, -1.0, 1.0)
     sigma = jax.nn.softplus(sigma_raw) + 1e-5
     pdf = (jnp.exp(-((action - mu) ** 2) / (2 * sigma))

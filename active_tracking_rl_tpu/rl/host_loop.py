@@ -46,6 +46,15 @@ class HostBatch(NamedTuple):
     cx0: chex.Array
 
 
+def wrap_action(action: np.ndarray, low, high) -> np.ndarray:
+    """player_util.py:39-42: rescale a [-1, 1] policy action to the env's
+    [low, high] box. Applied to the CLAMPED action (action_train,
+    player_util.py:49-51)."""
+    low = np.asarray(low, np.float32)
+    high = np.asarray(high, np.float32)
+    return np.asarray(action) * (high - low) / 2.0 + (high + low) / 2.0
+
+
 def _obs_to_model(obs: np.ndarray, channel_first: bool = True) -> np.ndarray:
     """(B, P, k, ...) uint8/float -> (B, P, k, H, W, C) float32.
 
@@ -74,7 +83,12 @@ def _replay(model: DuelingModel, params, batch: HostBatch, two_player: bool):
 
     def eval_out(out, action):
         if cfg.continuous:
-            return eval_continuous(out.logits, out.sigma, action)
+            ent, lp = eval_continuous(out.logits, out.sigma, action)
+            # mean over action dims: the reference's final `.mean()` over the
+            # (A,)-shaped per-agent loss rows (player_util.py:143-146)
+            # commutes to this per-step reduction (gae and the entropy
+            # weight are scalar per agent).
+            return ent.mean(-1, keepdims=True), lp.mean(-1, keepdims=True)
         return eval_discrete(out.logits, action)
 
     def step(c, xs):
@@ -83,9 +97,12 @@ def _replay(model: DuelingModel, params, batch: HostBatch, two_player: bool):
         out0 = model.tracker_fwd(params, obs_t[:, 0], hx[:, 0], cx[:, 0])
         a0 = a_t[:, 0]
         ent0, lp0 = eval_out(out0, a0)
+        # TAT conditioning uses the CLAMPED action (the reference feeds the
+        # env-facing action_0, model.py:249-251); stored actions are raw.
+        a0_cond = jnp.clip(a0, -1.0, 1.0) if cfg.continuous else a0
         if two_player:
             out1 = model.target_fwd(params, obs_t[:, 0], obs_t[:, 1],
-                                    hx[:, 1], cx[:, 1], a0)
+                                    hx[:, 1], cx[:, 1], a0_cond)
             ent1, lp1 = eval_out(out1, a_t[:, 1])
             values = jnp.concatenate([out0.value, out1.value], -1)
             lps = jnp.concatenate([lp0, lp1], -1)
@@ -175,12 +192,17 @@ class HostTrainer:
 
     def __init__(self, model: DuelingModel, net_cfg: NetConfig,
                  tcfg: TrainConfig, pool, seed: int = 0,
-                 channel_first: bool = True):
+                 channel_first: bool = True,
+                 action_low=None, action_high=None):
         self.model = model
         self.ncfg = net_cfg
         self.tcfg = tcfg
         self.pool = pool
         self.channel_first = channel_first
+        # Continuous action bounds for wrap_action (player_util.py:49-51);
+        # None -> actions stay in [-1, 1] (identity rescale).
+        self.action_low = action_low
+        self.action_high = action_high
         self.two_player = model.player1 is not None
         self.params = model.init(jax.random.PRNGKey(seed))
         self.opt = make_optimizer_for(net_cfg, tcfg, self.params)
@@ -211,7 +233,16 @@ class HostTrainer:
             (_, actions, _, _, self.hx, self.cx, _) = self._act(
                 self.params, jnp.asarray(self.obs), self.hx, self.cx, k)
             a_host = np.asarray(actions)
-            obs, r, done, _ = self.pool.step(a_host)
+            if self.ncfg.continuous:
+                # Stored actions are the RAW samples (for replay); the env
+                # gets the clamp + wrap_action rescale (player_util.py:44-54).
+                a_env = np.clip(a_host, -1.0, 1.0)
+                if self.action_low is not None:
+                    a_env = wrap_action(a_env, self.action_low,
+                                        self.action_high)
+            else:
+                a_env = a_host
+            obs, r, done, _ = self.pool.step(a_env)
             r = np.asarray(r, np.float32)
             if r.ndim == 1:            # single-agent pools return (B,)
                 r = r[:, None]
