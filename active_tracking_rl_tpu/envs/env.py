@@ -140,11 +140,41 @@ class TrackEnv:
         refreshed with new PRNG keys every learner iteration, so wrap reuse
         only happens when terminations exceed pool size within one rollout).
         Returns (state', obs', pool_ptr').
+
+        `pool_ptr` selects the consumption scheme:
+          * scalar int32 — one global pointer, rows drawn from the whole
+            pool in termination order (single-device semantics);
+          * (d,) int32 — BLOCKED: the env batch and the pool are split into
+            d equal contiguous blocks and block i consumes only pool block
+            i with its own pointer. With the batch and pool sharded over a
+            d-way 'dp' mesh axis this keeps the cumsum and the gather
+            shard-local, so neither the pool nor the done-scan is
+            all-gathered across devices (SURVEY.md §2.8). Pool rows are
+            i.i.d. fresh resets, so the learning distribution is unchanged.
         """
         r = jax.tree_util.tree_leaves(pool_state)[0].shape[0]
-        take = (pool_ptr + jnp.cumsum(done.astype(jnp.int32)) - 1) % r
-        fresh_state = jax.tree_util.tree_map(lambda x: x[take], pool_state)
-        fresh_obs = pool_obs[take]
+        if pool_ptr.ndim == 0:
+            take = (pool_ptr + jnp.cumsum(done.astype(jnp.int32)) - 1) % r
+            fresh_state = jax.tree_util.tree_map(lambda x: x[take], pool_state)
+            fresh_obs = pool_obs[take]
+            ptr = (pool_ptr + done.sum(dtype=jnp.int32)) % r
+        else:
+            d = pool_ptr.shape[0]
+            B = done.shape[0]
+            assert B % d == 0 and r % d == 0, (B, r, d)
+            pb = r // d
+            done_b = done.reshape(d, B // d)
+            csum = jnp.cumsum(done_b.astype(jnp.int32), axis=1)
+            take = (pool_ptr[:, None] + csum - 1) % pb          # (d, B/d)
+
+            def gather(x):
+                xb = x.reshape(d, pb, *x.shape[1:])
+                out = jax.vmap(lambda xr, t: xr[t])(xb, take)
+                return out.reshape(B, *x.shape[1:])
+
+            fresh_state = jax.tree_util.tree_map(gather, pool_state)
+            fresh_obs = gather(pool_obs)
+            ptr = (pool_ptr + done_b.sum(1, dtype=jnp.int32)) % pb
 
         def pick(new, old):
             mask = done.reshape((-1,) + (1,) * (old.ndim - 1))
@@ -152,7 +182,6 @@ class TrackEnv:
 
         state = jax.tree_util.tree_map(pick, fresh_state, state)
         obs = pick(fresh_obs, obs)
-        ptr = (pool_ptr + done.sum(dtype=jnp.int32)) % r
         return state, obs, ptr
 
     @property

@@ -43,6 +43,9 @@ def host_init(coordinator: Optional[str] = None, num_processes: int = 1,
     --coordinator/--num-processes/--process-id.
     """
     if num_processes > 1:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return   # already initialized (early CLI hook) — idempotent
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)

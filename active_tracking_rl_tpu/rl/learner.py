@@ -76,14 +76,20 @@ def bootstrap_values(model: DuelingModel, params, carry: TrainCarry,
 
 def make_train_step(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
                     tcfg: TrainConfig, opt: optax.GradientTransformation,
-                    external_pool: bool = False):
+                    external_pool: bool = False, pool_blocks: int = 1,
+                    pool_sharding=None):
     """Returns train_step(params, opt_state, carry, mode[, pool]) ->
     (params', opt_state', carry', metrics). `mode` is a traced int32 so
     curriculum switches (test.py:80-92) don't retrigger compilation.
 
     `external_pool=True` adds a `pool=(EnvState[P], obs)` argument and skips
     in-program pool generation — pair with `make_pool_fn` to amortize reset
-    generation over `--pool-refresh` iterations."""
+    generation over `--pool-refresh` iterations.
+
+    `pool_blocks` / `pool_sharding`: dp-sharded pool consumption/generation
+    (rl/rollout.run_rollout) — set pool_blocks to the mesh's dp size so
+    autoreset stays shard-local and pool generation partitions instead of
+    replicating per device."""
 
     w_ent = tcfg.entropy
     w_ent_t = tcfg.entropy_target
@@ -91,7 +97,8 @@ def make_train_step(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
 
     def loss_fn(params, carry: TrainCarry, mode, pool):
         traj, new_carry = run_rollout(model, env, tcfg, params, carry,
-                                      pool=pool)
+                                      pool=pool, pool_blocks=pool_blocks,
+                                      pool_sharding=pool_sharding)
         kb = jax.random.fold_in(new_carry.key, 7)
         boot = bootstrap_values(model, params, new_carry, kb)  # (B, 2)
 

@@ -15,6 +15,40 @@ from __future__ import annotations
 import os
 
 
+def early_platform_setup(argv: "list[str] | None" = None) -> None:
+    """Module-import-time platform setup for CLIs.
+
+    `jax_num_cpu_devices` can only be set BEFORE the backend initializes,
+    and several package modules build jnp constants at import time — so a
+    CLI that supports `--local-devices` must apply it before its own
+    imports run. Call this at the very top of the CLI module (before jax /
+    package imports); it scans sys.argv for `--local-devices N` and applies
+    it together with the JAX_PLATFORMS re-pin.
+    """
+    import sys
+    argv = sys.argv if argv is None else argv
+
+    def flag(name, cast):
+        if name in argv:
+            i = argv.index(name)
+            if i + 1 < len(argv):
+                try:
+                    return cast(argv[i + 1])
+                except ValueError:
+                    return None
+        return None
+
+    respect_jax_platforms(num_cpu_devices=flag("--local-devices", int))
+    # jax.distributed.initialize must ALSO run before the backend first
+    # initializes (jax._src.distributed guards it), which module-level jnp
+    # constants elsewhere in the package would otherwise trigger first.
+    nproc = flag("--num-processes", int)
+    if nproc and nproc > 1:
+        from active_tracking_rl_tpu.parallel.mesh import host_init
+        host_init(flag("--coordinator", str), nproc,
+                  flag("--process-id", int) or 0)
+
+
 def respect_jax_platforms(num_cpu_devices: int | None = None) -> None:
     """Re-apply the JAX_PLATFORMS env var over a sitecustomize-pinned value.
 
