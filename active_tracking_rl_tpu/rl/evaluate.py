@@ -71,6 +71,11 @@ def make_eval_fn(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
             "EL_std": ep_len.astype(jnp.float32).std(),
             "R_step": ep_ret.sum(0) / jnp.maximum(ep_len.sum(), 1),
             "S_rate": success.mean(),
+            # per-episode data so callers can compute CIs / pool seeds
+            # (round-3 verdict weak #3: EVAL_MATRIX stored aggregates only,
+            # so uncertainty could not be recomputed post-hoc)
+            "ep_returns": ep_ret,
+            "ep_lens": ep_len,
         }
 
     return eval_fn

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--adv-env", default="Track2D-BlockPartialAdv-v0")
     p.add_argument("--network", default="tat-maze-lstm")
     p.add_argument("--num-episodes", type=int, default=100)
+    p.add_argument("--eval-seeds", type=int, default=3,
+                   help="independent eval seeds per cell; episodes pool "
+                        "across seeds for the CI (round-3 verdict item 3)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
@@ -42,6 +45,7 @@ def main(argv=None):
     respect_jax_platforms()
 
     import jax
+    import numpy as np
 
     from active_tracking_rl_tpu.config import NetConfig, parse_env_id
     from active_tracking_rl_tpu.envs.env import make_env
@@ -55,20 +59,50 @@ def main(argv=None):
     ncfg = NetConfig.from_name(args.network)
     results: dict = {}
 
+    def wilson_ci(successes, n, z=1.96):
+        """95% Wilson score interval for a binomial proportion."""
+        if n == 0:
+            return [0.0, 1.0]
+        phat = successes / n
+        denom = 1 + z * z / n
+        center = (phat + z * z / (2 * n)) / denom
+        half = z * np.sqrt(phat * (1 - phat) / n + z * z / (4 * n * n)) / denom
+        return [round(float(center - half), 4), round(float(center + half), 4)]
+
     def run_cell(env_id, tracker_name, tracker_path, target_path=None):
         ecfg = parse_env_id(env_id)
         model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
         base = model.init(jax.random.PRNGKey(args.seed))
         params = load_params(base, None, tracker_path, target_path)
-        ev = evaluator(params, jax.random.PRNGKey(args.seed))
-        row = {"R_mean": float(ev["R_mean"][0]),
-               "R_std": float(ev["R_std"][0]),
-               "EL_mean": float(ev["EL_mean"]),
-               "EL_std": float(ev["EL_std"]),
-               "S_rate": float(ev["S_rate"])}
+        rets, lens, per_seed = [], [], []
+        for s in range(args.eval_seeds):
+            ev = evaluator(params, jax.random.PRNGKey(args.seed + 101 * s))
+            rets.append(ev["ep_returns"][:, 0])
+            lens.append(ev["ep_lens"])
+            per_seed.append({"R_mean": round(float(ev["R_mean"][0]), 2),
+                             "S_rate": round(float(ev["S_rate"]), 3)})
+        rets = np.concatenate(rets)
+        lens = np.concatenate(lens)
+        n = len(rets)
+        succ = int((lens >= 500).sum())
+        # 1.96 * sem: 95% normal CI on the mean return over pooled episodes
+        row = {"R_mean": round(float(rets.mean()), 2),
+               "R_std": round(float(rets.std()), 2),
+               "R_ci95": round(1.96 * float(rets.std()) / np.sqrt(n), 2),
+               "EL_mean": round(float(lens.mean()), 1),
+               "EL_std": round(float(lens.std()), 1),
+               "S_rate": round(succ / n, 4),
+               "S_ci95": wilson_ci(succ, n),
+               "episodes": n,
+               "eval_seeds": args.eval_seeds,
+               "per_seed": per_seed,
+               "ep_returns": [round(float(r), 2) for r in rets],
+               "ep_lens": [int(l) for l in lens]}
         key = tracker_name if target_path is None else f"{tracker_name}+target"
         results.setdefault(env_id, {})[key] = row
-        print(env_id, key, json.dumps(row), flush=True)
+        print(env_id, key, json.dumps(
+            {k: v for k, v in row.items()
+             if k not in ("ep_returns", "ep_lens")}), flush=True)
 
     for env_id in envs:
         ecfg = parse_env_id(env_id)

@@ -207,6 +207,8 @@ def main():
                 run_bench(num_envs=4096, pool_refresh=k), 1)
         out["nav_maze-lstm_n4096_bf16"] = round(
             run_bench(num_envs=4096, bf16=True), 1)
+        out["nav_maze-lstm_n4096_poolK16_bf16"] = round(
+            run_bench(num_envs=4096, pool_refresh=16, bf16=True), 1)
         out["pzr_tat-maze-lstm_n4096"] = round(run_bench(
             num_envs=4096, env_id="Track2D-BlockPartialPZR-v0",
             network="tat-maze-lstm", train_mode=-1), 1)

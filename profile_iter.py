@@ -66,6 +66,83 @@ def main():
                         "maps_s": t_maps,
                         "steps_per_s": NUM_ENVS * tcfg.num_steps / t_step}
 
+    # ---- K=16 core-step decomposition (round-3 verdict item 5) ----------
+    # With the pool external, the core iteration is rollout+loss+grad+update.
+    # Break it into: model scan (encoder+LSTM+heads fwd), env scan
+    # (dynamics + obs painting), autoreset gathers, and the backward pass
+    # (core - forward-only rollout).
+    env_id = "Track2D-BlockPartialNav-v0"
+    ecfg = parse_env_id(env_id)
+    env = TrackEnv(ecfg)
+    tcfg = TrainConfig(env_id=env_id, num_envs=NUM_ENVS, reset_pool=POOL,
+                       train_mode=0)
+    ncfg = NetConfig.from_name("maze-lstm", aux="none")
+    model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
+    state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
+    from active_tracking_rl_tpu.rl.learner import make_pool_fn
+    from active_tracking_rl_tpu.rl.rollout import run_rollout
+    pool = jax.jit(make_pool_fn(env, tcfg))(jax.random.PRNGKey(9))
+    ts_ext = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
+                                     external_pool=True))
+    mode = jnp.int32(0)
+    core = {}
+    core["core_step_s"] = timeit(
+        lambda: ts_ext(state.params, state.opt_state, state.carry, mode, pool))
+
+    rollout_fwd = jax.jit(lambda p, c: run_rollout(model, env, tcfg, p, c,
+                                                   pool=pool))
+    core["rollout_fwd_s"] = timeit(lambda: rollout_fwd(state.params,
+                                                       state.carry))
+    core["backward_s"] = core["core_step_s"] - core["rollout_fwd_s"]
+
+    T = tcfg.num_steps
+    carry = state.carry
+
+    @jax.jit
+    def model_scan(params, obs_stack, hx, cx, key):
+        from active_tracking_rl_tpu.rl.rollout import obs_to_model
+        obs_f = obs_to_model(obs_stack)
+
+        def f(c, k):
+            hx, cx = c
+            out = model.step_both(params, obs_f, hx, cx, k)
+            return (out[4], out[5]), out[1]
+
+        return jax.lax.scan(f, (hx, cx), jax.random.split(key, T))
+
+    core["model_scan_s"] = timeit(lambda: model_scan(
+        state.params, carry.obs_stack, carry.hx, carry.cx,
+        jax.random.PRNGKey(1)))
+
+    @jax.jit
+    def env_scan(st, key):
+        def f(s, k):
+            a = jax.random.randint(k, (NUM_ENVS, 2), 0, 4, jnp.int32)
+            s, obs, rew, done, _ = env.step_batch(s, a)
+            return s, rew
+
+        return jax.lax.scan(f, st, jax.random.split(key, T))
+
+    core["env_scan_s"] = timeit(lambda: env_scan(carry.env_state,
+                                                 jax.random.PRNGKey(2)))
+
+    @jax.jit
+    def autoreset_scan(st, obs, key):
+        ps, po = pool
+
+        def f(c, k):
+            s, ptr = c
+            done = jax.random.bernoulli(k, 0.04, (NUM_ENVS,))
+            s, o, ptr = env.autoreset(s, obs, done, ps, po, ptr)
+            return (s, ptr), o[0, 0, 0]
+
+        return jax.lax.scan(f, (st, jnp.int32(0)), jax.random.split(key, T))
+
+    obs0 = carry.obs_stack[:, :, 0]
+    core["autoreset_scan_s"] = timeit(lambda: autoreset_scan(
+        carry.env_state, obs0, jax.random.PRNGKey(3)))
+    results["core_decomposition_k16"] = core
+
     # flood fields alone, matching the Nav pool's work: POOL rows x 16 goals
     ecfg = parse_env_id("Track2D-BlockPartialNav-v0")
     mz = jax.vmap(lambda k: maps.generate_map(ecfg, k))(
