@@ -143,19 +143,23 @@ def distance_fields_backend(maze: jax.Array, goals: jax.Array, iters: int,
     """Dispatch between the fast-sweep flood, the iteration-capped XLA
     relaxation, and the VMEM-resident Pallas relaxation kernel.
 
-    backend: "auto" picks the Pallas kernel on TPU (VMEM-resident carry,
-    in-kernel convergence exit — measured fastest, see RESULTS.md), XLA
-    elsewhere. "sweep" is the exact-BFS fast-sweeping variant (log-depth
-    associative scans — slower on TPU than the Pallas relaxation because
-    XLA's odd/even scan lowering doesn't tile well at 82x82, kept as the
-    exact oracle).
+    backend: "auto" picks the Pallas fast-sweeping kernel on TPU
+    (VMEM-resident, log-depth directional scans, ~4x the relaxation
+    kernel's throughput — see RESULTS.md §3), XLA elsewhere.
+    "pallas" is the one-cell-per-sweep relaxation kernel;
+    "pallas_sweep" the fast-sweeping kernel; "sweep" the XLA fast-sweeping
+    variant (log-depth associative scans — slower on TPU because XLA's
+    odd/even scan lowering doesn't tile well at 82x82, kept as the exact
+    oracle).
     """
     if backend == "auto":
         from active_tracking_rl_tpu.ops.flood_pallas import flood_available
         backend = "pallas" if flood_available() else "xla"
     if backend == "sweep":
         return distance_fields_sweep(maze, goals)
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_sweep"):
         from active_tracking_rl_tpu.ops.flood_pallas import flood_fields_pallas
-        return flood_fields_pallas(maze, goals, iters)
+        return flood_fields_pallas(
+            maze, goals, iters,
+            variant="sweep" if backend == "pallas_sweep" else "relax")
     return distance_fields(maze, goals, iters)

@@ -81,6 +81,71 @@ def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
     out_ref[:] = d
 
 
+def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
+    """Fast-sweeping variant: per round, Gauss-Seidel directional passes
+    (rows fwd/bwd, cols fwd/bwd), each a LOG-DEPTH min-plus prefix scan
+    implemented with power-of-two `pltpu.roll` steps — so one round
+    propagates whole straight-line runs instead of one cell. A shortest
+    path alternating between vertical and horizontal segments z times
+    converges in ~z/2+1 rounds (3-6 on block maps, 10-30 on mazes) vs one
+    relaxation sweep per unit of path length in `_relax_kernel`.
+
+    Composition scanned per direction: T_i(x) = min(c_i, x + k_i) with
+    c = current field, k = 1 at free cells / INF at walls (so nothing
+    propagates through a wall); combine(b=current, a=behind):
+    c' = min(c_b, c_a + k_b), k' = sat(k_a + k_b). Applying the composed
+    prefix to x = INF yields exactly the in-row one-directional BFS update.
+
+    `cap`: distances beyond this are mapped to INF afterwards, matching the
+    iteration-capped relaxation semantics (paths longer than flood_iters
+    count as unreachable -> navigator planB, envs/opponents.py).
+    """
+    wall = (maze_ref[:] != 0)[None, :, :]
+    s0, s1 = d0_ref.shape[1], d0_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 2)
+    kstep = jnp.where(wall, INF32, 1)
+
+    def scan_dir(d, axis, reverse):
+        n = s0 if axis == 1 else s1
+        idx = rows if axis == 1 else cols
+        c, k = d, kstep
+        shift = 1
+        while shift < n:   # static python loop: log2(n) steps, unrolled
+            if reverse:
+                arr_c = pltpu.roll(c, n - shift, axis=axis)
+                arr_k = pltpu.roll(k, n - shift, axis=axis)
+                edge = idx >= n - shift
+            else:
+                arr_c = pltpu.roll(c, shift, axis=axis)
+                arr_k = pltpu.roll(k, shift, axis=axis)
+                edge = idx < shift
+            arr_c = jnp.where(edge, INF32, arr_c)    # identity: (INF, 0)
+            arr_k = jnp.where(edge, 0, arr_k)
+            c = jnp.minimum(c, jnp.minimum(arr_c + k, INF32))
+            k = jnp.minimum(k + arr_k, INF32)
+            shift *= 2
+        return jnp.where(wall, INF32, c)
+
+    def one_round(d):
+        d = scan_dir(d, 1, False)
+        d = scan_dir(d, 1, True)
+        d = scan_dir(d, 2, False)
+        return scan_dir(d, 2, True)
+
+    def cond(c):
+        d, prev, i = c
+        return (i < max_rounds) & jnp.any(d != prev)
+
+    def body(c):
+        d, _, i = c
+        return one_round(d), d, i + 1
+
+    d0 = d0_ref[:]
+    d, _, _ = jax.lax.while_loop(cond, body, (one_round(d0), d0, jnp.int32(1)))
+    out_ref[:] = jnp.where(d > cap, INF32, d)
+
+
 def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
     """(S,S) uint8 x (G,2) i32 -> (G,S,S) i32 initial field (0 at goal).
 
@@ -102,13 +167,21 @@ def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
     return jax.vmap(one)(goals)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+#: safety cap on fast-sweeping rounds (each round handles 2 more direction
+#: alternations of the shortest path; 64 covers any 94x94 serpentine).
+_MAX_ROUNDS = 64
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret", "variant"))
 def flood_fields_pallas(maze: jax.Array, goals: jax.Array,
-                        iters: int, interpret: bool = False) -> jax.Array:
+                        iters: int, interpret: bool = False,
+                        variant: str = "relax") -> jax.Array:
     """(S,S) uint8, (G,2) i32 -> (G,S,S) int16 distance fields.
 
     G must be a multiple of _G_BLOCK or <= _G_BLOCK (padded internally).
     ``interpret=True`` runs the Pallas interpreter (CPU testing).
+    ``variant``: "relax" (one cell per sweep, early-converging) or "sweep"
+    (fast sweeping — log-depth directional scans, far fewer rounds).
     """
     g = goals.shape[0]
     d0 = _init_fields(maze, goals)
@@ -120,8 +193,12 @@ def flood_fields_pallas(maze: jax.Array, goals: jax.Array,
     gp = d0.shape[0]
     s = maze.shape[-1]
 
+    if variant == "sweep":
+        kernel = functools.partial(_sweep_kernel, _MAX_ROUNDS, iters)
+    else:
+        kernel = functools.partial(_relax_kernel, iters)
     out = pl.pallas_call(
-        functools.partial(_relax_kernel, iters),
+        kernel,
         grid=(gp // gb,),
         in_specs=[
             pl.BlockSpec((s, s), lambda i: (0, 0),

@@ -17,6 +17,8 @@ from active_tracking_rl_tpu.run.parity import cross_check
     "Track2D-MazePartialNav-v0",
     "Track2D-BlockFullNav-v0",      # Full-obs painting path
     "Track2D-BlockPartialPZR-v0",   # w_p = 1 reward branch
+    "Track2D-BlockPartialRPF-v0",   # static patrol goals (generators.py:47-50)
+    "Track2D-BlockPartialFar-v0",   # w_p = -0.5 reward branch
 ])
 def test_cross_check_vs_reference(env_id):
     # ImportError here means the reference or shim broke — that IS a failure.

@@ -199,8 +199,9 @@ def test_maze_wall_density_matches_reference():
 
 
 @pytest.mark.slow
-def test_navigator_move_distribution_matches_reference():
-    env_id = "Track2D-BlockPartialNav-v0"
+@pytest.mark.parametrize("env_id", ["Track2D-BlockPartialNav-v0",
+                                    "Track2D-BlockPartialRPF-v0"])
+def test_navigator_move_distribution_matches_reference(env_id):
     _, _, ref_deltas = _ref_collect(env_id, n_resets=0, n_steps=600, seed=17)
     jax_deltas = _jax_target_deltas(env_id, rows=8, steps=120, seed=6)
 

@@ -8,33 +8,59 @@ import numpy as np
 from active_tracking_rl_tpu.config import EnvConfig
 from active_tracking_rl_tpu.envs import maps
 from active_tracking_rl_tpu.envs.distance import distance_fields
+import pytest
+
 from active_tracking_rl_tpu.ops.flood_pallas import flood_fields_pallas
 
+VARIANTS = ["relax", "sweep"]
 
-def test_flood_pallas_matches_xla_block():
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_flood_pallas_matches_xla_block(variant):
     cfg = EnvConfig(map_type="Block", level=1)
     m = maps.generate_block_map(cfg, jax.random.PRNGKey(0))
     goals = maps.sample_free_cells(jax.random.PRNGKey(1), m, 4)
     ref = np.array(distance_fields(m, goals, 96))
-    got = np.array(flood_fields_pallas(m, goals, 96, interpret=True))
+    got = np.array(flood_fields_pallas(m, goals, 96, interpret=True,
+                                       variant=variant))
     np.testing.assert_array_equal(got, ref)
 
 
-def test_flood_pallas_goal_block_padding():
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_flood_pallas_matches_xla_maze(variant):
+    """Maze maps: long winding corridors — many direction alternations, the
+    hard case for fast sweeping; also exercises the distance cap (serpentine
+    paths can exceed it, and capped cells must come out INF exactly like the
+    iteration-capped relaxation)."""
+    cfg = EnvConfig(map_type="Maze", level=5)
+    m = maps.generate_map(cfg, jax.random.PRNGKey(7))
+    goals = maps.sample_free_cells(jax.random.PRNGKey(8), m, 4)
+    for iters in (48, 256):
+        ref = np.array(distance_fields(m, goals, iters))
+        got = np.array(flood_fields_pallas(m, goals, iters, interpret=True,
+                                           variant=variant))
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_flood_pallas_goal_block_padding(variant):
     """G > _G_BLOCK exercises the grid; G not a multiple exercises padding."""
     cfg = EnvConfig(map_type="Empty")
     m = maps.generate_block_map(cfg, jax.random.PRNGKey(2))
     goals = maps.sample_free_cells(jax.random.PRNGKey(3), m, 9)
     ref = np.array(distance_fields(m, goals, 48))
-    got = np.array(flood_fields_pallas(m, goals, 48, interpret=True))
+    got = np.array(flood_fields_pallas(m, goals, 48, interpret=True,
+                                       variant=variant))
     np.testing.assert_array_equal(got, ref)
 
 
-def test_flood_pallas_walls_inf():
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_flood_pallas_walls_inf(variant):
     cfg = EnvConfig(map_type="Block", level=1)
     m = maps.generate_block_map(cfg, jax.random.PRNGKey(4))
     goals = maps.sample_free_cells(jax.random.PRNGKey(5), m, 2)
-    got = np.array(flood_fields_pallas(m, goals, 32, interpret=True))
+    got = np.array(flood_fields_pallas(m, goals, 32, interpret=True,
+                                       variant=variant))
     mn = np.array(m)
     assert (got[:, mn == 1] >= 16000).all()
     g = np.array(goals)
