@@ -84,6 +84,7 @@ def main(argv=None):
                                 seed=args.seed + i))
         for i in range(args.num_envs)])
     probe = pool.envs[0]
+    action_low = action_high = None
     if "Track2D" in args.env:
         ecfg = parse_env_id(args.env)
         num_actions, obs_hw = ecfg.num_actions, ecfg.obs_shape
@@ -94,9 +95,15 @@ def main(argv=None):
         oshape = probe.observation_space.shape
         obs_hw = tuple(oshape[-2:])
         single = True             # external single-agent env
+        if ncfg.continuous and hasattr(space, "low"):
+            # Box bounds for the wrap_action rescale of [-1,1] policy
+            # actions (player_util.py:39-42,49-51).
+            action_low = np.asarray(space.low, np.float32)
+            action_high = np.asarray(space.high, np.float32)
 
     model = build_model(ncfg, num_actions, obs_hw, single=single)
-    trainer = HostTrainer(model, ncfg, tcfg, pool, seed=args.seed)
+    trainer = HostTrainer(model, ncfg, tcfg, pool, seed=args.seed,
+                          action_low=action_low, action_high=action_high)
     writer = MetricWriter(run_dir)
     ckpt = CheckpointManager(run_dir, split=True)
 
