@@ -148,6 +148,19 @@ def main():
     mz = jax.vmap(lambda k: maps.generate_map(ecfg, k))(
         jax.random.split(jax.random.PRNGKey(3), POOL))
     goals = jnp.full((POOL, 16, 2), 40, jnp.int32)
+
+    # nav-tape simulation alone (tape_len-step scan with field gathers)
+    from active_tracking_rl_tpu.envs.opponents import nav_tape
+    spawn = jnp.full((POOL, 2), 41, jnp.int32)
+
+    @jax.jit
+    def tapes(key):
+        ks = jax.random.split(key, POOL)
+        return jax.vmap(lambda k, m, s: nav_tape(ecfg, k, m, s, s))(
+            ks, mz, spawn)
+
+    results["nav_tape_s"] = timeit(tapes, jax.random.PRNGKey(5))
+
     for backend in ["xla", "pallas"]:
         f = jax.jit(lambda m, g: jax.vmap(
             lambda mm, gg: distance_fields_backend(
