@@ -154,7 +154,7 @@ def distance_fields_backend(maze: jax.Array, goals: jax.Array, iters: int,
     """
     if backend == "auto":
         from active_tracking_rl_tpu.ops.flood_pallas import flood_available
-        backend = "pallas" if flood_available() else "xla"
+        backend = "pallas_sweep" if flood_available() else "xla"
     if backend == "sweep":
         return distance_fields_sweep(maze, goals)
     if backend in ("pallas", "pallas_sweep"):

@@ -21,11 +21,39 @@ from active_tracking_rl_tpu.config import EnvConfig
 
 def _paint_in_crop(crop: jax.Array, rel: jax.Array, color: int,
                    window: int) -> jax.Array:
-    """Set crop[rel] = color iff rel lies inside the window (masked scatter)."""
+    """Set crop[rel] = color iff rel lies inside the window.
+
+    Masked COMPARE over the (w, w) crop, not a scatter: under vmap a
+    per-row dynamic scatter lowers to a sequential per-row loop on TPU
+    (xprof round-4: the scatter/gather pair was 80% of the train-step core
+    at 4096 envs), while the compare is one fused elementwise op.
+    """
+    ri = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
     inside = ((rel >= 0) & (rel < window)).all()
-    r = jnp.clip(rel, 0, window - 1)
-    val = jnp.where(inside, jnp.uint8(color), crop[r[0], r[1]])
-    return crop.at[r[0], r[1]].set(val)
+    mask = (ri == rel[0]) & (ci == rel[1]) & inside
+    return jnp.where(mask, jnp.uint8(color), crop)
+
+
+def _crop_onehot_matmul(maze_padded: jax.Array, origin: jax.Array,
+                        w: int) -> jax.Array:
+    """(S,S) uint8 crop of shape (w, w) at `origin`, as two one-hot matmuls:
+    crop = R @ maze @ C^T with R[a, j] = [j == origin_r + a].
+
+    Under vmap this is a batched dot_general on the MXU — the direct
+    per-row `dynamic_slice` gather lowers to a 4096-iteration sequential
+    dynamic-slice/dynamic-update loop on TPU (216 ms/agent per 20-step
+    iteration, xprof round-4) vs ~1 ms for the matmuls. bfloat16 is exact
+    here: operands are one-hot selectors and cell values 0..6.
+    """
+    s = maze_padded.shape[-1]
+    a = jax.lax.broadcasted_iota(jnp.int32, (w, s), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (w, s), 1)
+    rows = (j == origin[0] + a).astype(jnp.bfloat16)       # (w, S)
+    cols = (j == origin[1] + a).astype(jnp.bfloat16)       # (w, S)
+    m = maze_padded.astype(jnp.bfloat16)
+    crop = rows @ m @ cols.T                               # (w, w)
+    return crop.astype(jnp.uint8)
 
 
 def partial_obs(cfg: EnvConfig, maze_padded: jax.Array,
@@ -36,7 +64,7 @@ def partial_obs(cfg: EnvConfig, maze_padded: jax.Array,
 
     def one(i):
         # pos is unpadded; padded crop origin = pos + p - p = pos.
-        crop = jax.lax.dynamic_slice(maze_padded, (pos[i, 0], pos[i, 1]), (w, w))
+        crop = _crop_onehot_matmul(maze_padded, pos[i], w)
         j = 1 - i  # the other agent (num_agents == 2)
         rel = pos[j] - pos[i] + p
         crop = _paint_in_crop(crop, rel, 2 + 2 * j, w)

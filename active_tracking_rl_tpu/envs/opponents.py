@@ -145,6 +145,22 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
     candidates, field_idx, fields = nav_candidates(cfg, k_cand, maze, first_goal)
     wall = maze != 0
 
+    # Precompute the greedy-descent action per (field, cell) ONCE,
+    # vectorized: per tick the action is then a single gather instead of 4
+    # neighbor-field gathers. Shifted-edge arrivals are INF, exactly like
+    # out-of-range neighbors (border cells are walls = INF anyway); argmin
+    # over action order reproduces the first-min tie-break bit-for-bit.
+    gf = fields.shape[0]
+    deltas_py = [(-1, 0), (1, 0), (0, -1), (0, 1),
+                 (-1, 1), (1, 1), (-1, -1), (1, -1)]   # static DELTAS copy
+    shifted = []
+    for a in range(na):
+        dr, dc = deltas_py[a]
+        p = jnp.pad(fields, ((0, 0), (1, 1), (1, 1)), constant_values=INF)
+        shifted.append(jax.lax.dynamic_slice(
+            p, (0, 1 + dr, 1 + dc), fields.shape))
+    amap = jnp.argmin(jnp.stack(shifted), axis=0).astype(jnp.int8)  # (Gf,S,S)
+
     def tick(carry, k):
         pos, goal_ptr, goal_cell, cur_field, remaining, planb = carry
         # Exhaustion-only replan: the reference's goal-reached test is dead
@@ -152,10 +168,16 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
         need = remaining <= 0
 
         # --- replan (navigator.py:15-38) ---
+        # One vectorized (Gf,) gather of every field's distance at pos, then
+        # the 6-candidate retry works on in-register values. (A cell-major
+        # (S,S,Gf) layout was tried and is NOT faster — the 512-tick scan is
+        # at its serial-dependency floor, not gather-bandwidth bound.)
+        dists_all = jax.lax.dynamic_slice(
+            fields, (0, pos[0], pos[1]), (gf, 1, 1))[:, 0, 0]   # (Gf,)
         try_idx = (goal_ptr + jnp.arange(_RETRIES, dtype=jnp.int32)) % g
         cand = candidates[try_idx]                        # (6, 2)
         fidx = field_idx[try_idx]                         # (6,)
-        dists = fields[fidx, pos[0], pos[1]]              # (6,)
+        dists = dists_all[fidx]                           # (6,)
         ok = (dists >= 1) & (dists < INF)
         any_ok = ok.any()
         first = jnp.argmax(ok)
@@ -170,10 +192,8 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
         remaining = jnp.where(need, r_remaining, remaining)
         planb = jnp.where(need, ~any_ok, planb)
 
-        # --- act ---
-        nbr = pos[None, :] + DELTAS[:na]                  # (na, 2)
-        nv = fields[cur_field, nbr[:, 0], nbr[:, 1]]
-        greedy = jnp.argmin(nv).astype(jnp.int8)          # first-min tie-break
+        # --- act: one gather from the precomputed action map ---
+        greedy = amap[cur_field, pos[0], pos[1]]
         rand_a = jax.random.randint(k, (), 0, na, jnp.int8)
         action = jnp.where(planb, rand_a, greedy)
 
