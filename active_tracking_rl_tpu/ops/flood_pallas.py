@@ -100,11 +100,14 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
     iteration-capped relaxation semantics (paths longer than flood_iters
     count as unreachable -> navigator planB, envs/opponents.py).
     """
-    wall = (maze_ref[:] != 0)[None, :, :]
+    # All masks as 0/1 int32 arithmetic: captured (1,S,S) boolean vectors
+    # trip a Mosaic relayout bug ("non-singleton logical dimension is
+    # replicated in destination but not in source" on vector<1xSxSxi1>).
+    wall = jnp.minimum(maze_ref[:].astype(jnp.int32), 1)[None, :, :]
     s0, s1 = d0_ref.shape[1], d0_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 2)
-    kstep = jnp.where(wall, INF32, 1)
+    kstep = 1 + wall * (INF32 - 1)
 
     def scan_dir(d, axis, reverse):
         n = s0 if axis == 1 else s1
@@ -115,17 +118,22 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
             if reverse:
                 arr_c = pltpu.roll(c, n - shift, axis=axis)
                 arr_k = pltpu.roll(k, n - shift, axis=axis)
-                edge = idx >= n - shift
+                # edge = idx >= n - shift, as a 0/1 i32 mask: boolean
+                # (1,S,S) vectors trip a Mosaic relayout bug here, so the
+                # masks are pure integer arithmetic.
+                m = jnp.clip(idx - (n - shift) + 1, 0, 1)
             else:
                 arr_c = pltpu.roll(c, shift, axis=axis)
                 arr_k = pltpu.roll(k, shift, axis=axis)
-                edge = idx < shift
-            arr_c = jnp.where(edge, INF32, arr_c)    # identity: (INF, 0)
-            arr_k = jnp.where(edge, 0, arr_k)
+                # edge = idx < shift
+                m = jnp.clip(shift - idx, 0, 1)
+            # identity element at the edge: (c, k) = (INF, 0)
+            arr_c = jnp.maximum(arr_c, m * INF32)       # m=1 -> INF
+            arr_k = arr_k * (1 - m)                      # m=1 -> 0
             c = jnp.minimum(c, jnp.minimum(arr_c + k, INF32))
             k = jnp.minimum(k + arr_k, INF32)
             shift *= 2
-        return jnp.where(wall, INF32, c)
+        return jnp.maximum(c, wall * INF32)   # walls pinned to INF
 
     def one_round(d):
         d = scan_dir(d, 1, False)
