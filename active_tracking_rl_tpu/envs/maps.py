@@ -17,7 +17,6 @@ All functions operate on a single map; batch with vmap.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

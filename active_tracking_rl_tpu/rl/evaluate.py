@@ -14,14 +14,13 @@ All N episodes run as vmapped rows of one 500-step scan.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from active_tracking_rl_tpu.config import NetConfig, TrainConfig
+from active_tracking_rl_tpu.config import NetConfig
 from active_tracking_rl_tpu.envs.env import TrackEnv
 from active_tracking_rl_tpu.models.dueling import DuelingModel
 from active_tracking_rl_tpu.rl.rollout import _stack_fill, _stack_push, obs_to_model

@@ -20,7 +20,7 @@ UnrealCV included — trains against the TPU with no other code change.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import chex
 import jax

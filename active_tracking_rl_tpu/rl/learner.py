@@ -11,8 +11,7 @@ all-reduce rides ICI (SURVEY.md §2.8).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import chex
 import jax

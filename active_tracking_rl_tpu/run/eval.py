@@ -13,7 +13,6 @@ import csv
 import os
 
 import jax
-import numpy as np
 
 from active_tracking_rl_tpu.config import NetConfig, parse_env_id
 from active_tracking_rl_tpu.envs.env import make_env
