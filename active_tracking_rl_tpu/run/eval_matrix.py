@@ -59,15 +59,7 @@ def main(argv=None):
     ncfg = NetConfig.from_name(args.network)
     results: dict = {}
 
-    def wilson_ci(successes, n, z=1.96):
-        """95% Wilson score interval for a binomial proportion."""
-        if n == 0:
-            return [0.0, 1.0]
-        phat = successes / n
-        denom = 1 + z * z / n
-        center = (phat + z * z / (2 * n)) / denom
-        half = z * np.sqrt(phat * (1 - phat) / n + z * z / (4 * n * n)) / denom
-        return [round(float(center - half), 4), round(float(center + half), 4)]
+    from active_tracking_rl_tpu.utils.stats import wilson_ci
 
     def run_cell(env_id, tracker_name, tracker_path, target_path=None):
         ecfg = parse_env_id(env_id)
