@@ -25,18 +25,20 @@ def _free_port():
     return port
 
 
-def _launch(tmp, run_name, total_iters, resume=None):
+def _launch(tmp, run_name, total_iters, resume=None, env_args=None):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)   # no inherited 8-virtual-device flag
     env["JAX_PLATFORMS"] = "cpu"
     procs = []
+    env_args = env_args or [
+        "--env", "Track2D-EmptyPartialRam-v0",
+        "--env-base", "Track2D-EmptyPartialRam-v0",
+        "--network", "maze-lstm", "--aux", "none", "--train-mode", "0"]
     for rank in range(2):
         cmd = [sys.executable, "-m", "active_tracking_rl_tpu.run.train",
-               "--env", "Track2D-EmptyPartialRam-v0",
-               "--env-base", "Track2D-EmptyPartialRam-v0",
-               "--network", "maze-lstm", "--aux", "none", "--train-mode", "0",
+               *env_args,
                "--num-envs", "8", "--reset-pool", "4", "--num-steps", "4",
                "--test-eps", "8", "--total-iters", str(total_iters),
                "--checkpoint-every", "10", "--log-dir", str(tmp),
@@ -114,3 +116,24 @@ def test_trainer_cli_two_process_end_to_end(tmp_path):
     ev2_r1 = _logger_lines(r12, r"eval iter")
     assert len(ev2_lead) == 1 and ev2_lead == ev2_r1
     assert "eval iter 40" in ev2_lead[0]
+
+
+@pytest.mark.slow
+def test_trainer_cli_two_process_full_advat_config(tmp_path):
+    """BASELINE config 5 shape: the FULL AD-VAT recipe (PZR env,
+    tat-maze-lstm, joint mode with curriculum warmup, reward aux) sharded
+    over 2 jax.distributed processes — both ranks must agree on the
+    replicated eval."""
+    _launch(tmp_path, "pzr", total_iters=20, env_args=[
+        "--env", "Track2D-BlockPartialPZR-v0",
+        "--env-base", "Track2D-BlockPartialNav-v0",
+        "--network", "tat-maze-lstm", "--train-mode", "-1",
+        "--init-step", "10"])
+    base = os.path.join(tmp_path, "Track2D-BlockPartialPZR-v0")
+    ev_lead = _logger_lines(os.path.join(base, "pzr"), r"eval iter")
+    ev_r1 = _logger_lines(os.path.join(base, "pzr-r1"), r"eval iter")
+    assert ev_lead and ev_lead == ev_r1
+    lead_files = set(os.listdir(os.path.join(base, "pzr")))
+    assert {"tracker-best.msgpack", "target-best.msgpack"} <= lead_files
+    assert not any(f.endswith(".msgpack")
+                   for f in os.listdir(os.path.join(base, "pzr-r1")))
