@@ -130,6 +130,24 @@ class TrackEnv:
         """state: EnvState[B]; actions: (B, num_agents) int32."""
         return jax.vmap(self._step_one)(state, actions)
 
+    def reset_batch_chunked(self, key: jax.Array, n: int,
+                            chunk_max: int = 4096):
+        """reset_batch with bounded peak memory: the reset's flood-field /
+        action-map scratch is O(rows x goals x S^2), so one flat batch OOMs
+        HBM above ~8k rows. Sequential `lax.map` over ceil-division row
+        groups; values identical (each row's reset depends only on its own
+        key; padding rows are discarded work)."""
+        num_chunks = -(-n // chunk_max)
+        if num_chunks == 1:
+            return self.reset_batch(key, n)
+        chunk = -(-n // num_chunks)
+        padded = num_chunks * chunk
+        keys = jax.random.split(key, padded).reshape(num_chunks, chunk, -1)
+        state, obs = jax.lax.map(
+            lambda ks: jax.vmap(self.reset)(ks), keys)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(padded, *x.shape[2:])[:n], (state, obs))
+
     # --- auto-reset from a pre-generated pool ---
     def autoreset(self, state: EnvState, obs: jax.Array, done: jax.Array,
                   pool_state: EnvState, pool_obs: jax.Array,

@@ -153,13 +153,21 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
     gf = fields.shape[0]
     deltas_py = [(-1, 0), (1, 0), (0, -1), (0, 1),
                  (-1, 1), (1, 1), (-1, -1), (1, -1)]   # static DELTAS copy
-    shifted = []
+    # Streaming first-min argmin over the 4 shifted neighbor fields: a
+    # stacked (na, Gf, S, S) argmin materializes na extra field copies,
+    # which at large reset batches (vmapped rows) overflows HBM; the
+    # running compare keeps peak memory at one shifted copy. Strict `<`
+    # preserves the reference's first-min tie-break (action order 0<1<2<3).
+    padded = jnp.pad(fields, ((0, 0), (1, 1), (1, 1)), constant_values=INF)
+    best = jnp.full(fields.shape, INF, fields.dtype)
+    amap = jnp.zeros(fields.shape, jnp.int8)
     for a in range(na):
         dr, dc = deltas_py[a]
-        p = jnp.pad(fields, ((0, 0), (1, 1), (1, 1)), constant_values=INF)
-        shifted.append(jax.lax.dynamic_slice(
-            p, (0, 1 + dr, 1 + dc), fields.shape))
-    amap = jnp.argmin(jnp.stack(shifted), axis=0).astype(jnp.int8)  # (Gf,S,S)
+        shifted = jax.lax.dynamic_slice(padded, (0, 1 + dr, 1 + dc),
+                                        fields.shape)
+        take = shifted < best
+        amap = jnp.where(take, jnp.int8(a), amap)
+        best = jnp.where(take, shifted, best)
 
     def tick(carry, k):
         pos, goal_ptr, goal_cell, cur_field, remaining, planb = carry

@@ -75,26 +75,10 @@ def init_carry(env: TrackEnv, net_cfg: NetConfig, num_envs: int,
     # batch OOMs HBM above ~8k envs, so chunk the initial reset with a
     # sequential lax.map over row groups (peak memory = one chunk; values
     # identical — each row's reset depends only on its own key).
-    # Ceil-division chunking over arbitrary num_envs: pad the key batch up to
-    # num_chunks x chunk and slice the result (each row's reset depends only
-    # on its own key, so padding rows are discarded work, never wrong values).
-    num_chunks = -(-num_envs // chunk_max)
-    chunk = -(-num_envs // num_chunks)
-
     @jax.jit
     def _init(key):
         k_env, k_carry = jax.random.split(key)
-        if num_chunks == 1:
-            state, obs = env.reset_batch(k_env, num_envs)
-        else:
-            padded = num_chunks * chunk
-            keys = jax.random.split(k_env, padded).reshape(
-                num_chunks, chunk, -1)
-            state, obs = jax.lax.map(
-                lambda ks: jax.vmap(env.reset)(ks), keys)
-            state, obs = jax.tree_util.tree_map(
-                lambda x: x.reshape(padded, *x.shape[2:])[:num_envs],
-                (state, obs))
+        state, obs = env.reset_batch_chunked(k_env, num_envs, chunk_max)
         obs_stack = _stack_fill(obs, net_cfg.stack_frames)
         hx = jnp.zeros((num_envs, 2, net_cfg.rnn_out), jnp.float32)
         return TrainCarry(state, obs_stack, hx, hx, k_carry)

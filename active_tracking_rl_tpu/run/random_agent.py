@@ -71,7 +71,7 @@ def main(argv=None):
 
     # batched FPS mode: one jitted scan of 20 random steps over N envs
     n, steps = args.num_envs, 20
-    reset_b = jax.jit(lambda k: env.reset_batch(k, n))
+    reset_b = jax.jit(lambda k: env.reset_batch_chunked(k, n))
 
     def block(carry, k):
         state = carry
