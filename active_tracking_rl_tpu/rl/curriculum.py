@@ -9,6 +9,10 @@ Reference semantics reproduced:
     and re-pins the mode to 2 between switches). Implemented properly here:
     after warmup, alternate target-phase (mode 1, `adv_step` iters) and
     tracker-phase (mode 0, `init_step` iters), starting with the target.
+    Timing note: `last_switch` tracks the warmup's end, so the first
+    tracker phase effectively runs 2 x init_step iterations before the
+    first flip (observed schedule with init_step 1000 / adv_step 500:
+    mode 1 at iter 2000, 0 at 2550, 1 at 3550, ... — runs/r4-mode2).
 
 Pure host-side function of replicated scalars: every host computes the same
 mode, so no Manager-list control channel is needed (SURVEY.md §5.8).
