@@ -81,7 +81,8 @@ def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
     out_ref[:] = d
 
 
-def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
+def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref,
+                  dtype=jnp.int32):
     """Fast-sweeping variant: per round, Gauss-Seidel directional passes
     (rows fwd/bwd, cols fwd/bwd), each a LOG-DEPTH min-plus prefix scan
     implemented with power-of-two `pltpu.roll` steps — so one round
@@ -100,14 +101,18 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
     iteration-capped relaxation semantics (paths longer than flood_iters
     count as unreachable -> navigator planB, envs/opponents.py).
     """
-    # All masks as 0/1 int32 arithmetic: captured (1,S,S) boolean vectors
+    # All masks as 0/1 integer arithmetic: captured (1,S,S) boolean vectors
     # trip a Mosaic relayout bug ("non-singleton logical dimension is
     # replicated in destination but not in source" on vector<1xSxSxi1>).
-    wall = jnp.minimum(maze_ref[:].astype(jnp.int32), 1)[None, :, :]
+    # `dtype=int16` halves VMEM traffic; all quantities fit: INF=16000 and
+    # the saturating adds cap at 2*INF=32000 < int16 max.
+    dt = dtype
+    inf = jnp.asarray(INF32, dt)
+    wall = jnp.minimum(maze_ref[:].astype(dt), 1)[None, :, :]
     s0, s1 = d0_ref.shape[1], d0_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 2)
-    kstep = 1 + wall * (INF32 - 1)
+    kstep = jnp.asarray(1, dt) + wall * (inf - jnp.asarray(1, dt))
 
     def scan_dir(d, axis, reverse):
         n = s0 if axis == 1 else s1
@@ -118,22 +123,20 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
             if reverse:
                 arr_c = pltpu.roll(c, n - shift, axis=axis)
                 arr_k = pltpu.roll(k, n - shift, axis=axis)
-                # edge = idx >= n - shift, as a 0/1 i32 mask: boolean
-                # (1,S,S) vectors trip a Mosaic relayout bug here, so the
-                # masks are pure integer arithmetic.
-                m = jnp.clip(idx - (n - shift) + 1, 0, 1)
+                # edge = idx >= n - shift, as a 0/1 integer mask (see above)
+                m = jnp.clip(idx - (n - shift) + 1, 0, 1).astype(dt)
             else:
                 arr_c = pltpu.roll(c, shift, axis=axis)
                 arr_k = pltpu.roll(k, shift, axis=axis)
                 # edge = idx < shift
-                m = jnp.clip(shift - idx, 0, 1)
+                m = jnp.clip(shift - idx, 0, 1).astype(dt)
             # identity element at the edge: (c, k) = (INF, 0)
-            arr_c = jnp.maximum(arr_c, m * INF32)       # m=1 -> INF
-            arr_k = arr_k * (1 - m)                      # m=1 -> 0
-            c = jnp.minimum(c, jnp.minimum(arr_c + k, INF32))
-            k = jnp.minimum(k + arr_k, INF32)
+            arr_c = jnp.maximum(arr_c, m * inf)          # m=1 -> INF
+            arr_k = arr_k * (jnp.asarray(1, dt) - m)     # m=1 -> 0
+            c = jnp.minimum(c, jnp.minimum(arr_c + k, inf))
+            k = jnp.minimum(k + arr_k, inf)
             shift *= 2
-        return jnp.maximum(c, wall * INF32)   # walls pinned to INF
+        return jnp.maximum(c, wall * inf)   # walls pinned to INF
 
     def one_round(d):
         d = scan_dir(d, 1, False)
@@ -149,9 +152,9 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref):
         d, _, i = c
         return one_round(d), d, i + 1
 
-    d0 = d0_ref[:]
+    d0 = d0_ref[:].astype(dt)
     d, _, _ = jax.lax.while_loop(cond, body, (one_round(d0), d0, jnp.int32(1)))
-    out_ref[:] = jnp.where(d > cap, INF32, d)
+    out_ref[:] = jnp.where(d > jnp.asarray(cap, dt), inf, d).astype(jnp.int32)
 
 
 def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
@@ -203,6 +206,13 @@ def flood_fields_pallas(maze: jax.Array, goals: jax.Array,
 
     if variant == "sweep":
         kernel = functools.partial(_sweep_kernel, _MAX_ROUNDS, iters)
+    elif variant == "sweep16":
+        # int16 carry halves VMEM traffic and is oracle-exact (values cap at
+        # 2*INF = 32000 < int16 max), but current Mosaic cannot lower it:
+        # "not implemented: Rotate with non-32-bit data" (pltpu.roll).
+        # Interpret-mode only until Mosaic grows 16-bit rotate support.
+        kernel = functools.partial(_sweep_kernel, _MAX_ROUNDS, iters,
+                                   dtype=jnp.int16)
     else:
         kernel = functools.partial(_relax_kernel, iters)
     out = pl.pallas_call(

@@ -12,7 +12,9 @@ import pytest
 
 from active_tracking_rl_tpu.ops.flood_pallas import flood_fields_pallas
 
-VARIANTS = ["relax", "sweep"]
+# "sweep16" is interpret-only: Mosaic lacks 16-bit rotate (see
+# flood_fields_pallas) — included here so the int16 math stays oracle-exact.
+VARIANTS = ["relax", "sweep", "sweep16"]
 
 
 @pytest.mark.parametrize("variant", VARIANTS)
