@@ -87,9 +87,15 @@ def full_obs(cfg: EnvConfig, maze_padded: jax.Array, pos: jax.Array) -> jax.Arra
     p = cfg.pob_size
     s = cfg.maze_size
     maze = jax.lax.dynamic_slice(maze_padded, (p, p), (s, s))
-    painted = (maze
-               .at[pos[0, 0], pos[0, 1]].set(2)
-               .at[pos[1, 0], pos[1, 1]].set(4))
+    # Masked compares, not .at[].set scatters: a per-row dynamic scatter
+    # under vmap lowers to a sequential per-row loop on TPU (§3.2c of
+    # RESULTS.md; same pathology as the partial-obs crop).
+    ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    painted = jnp.where((ri == pos[0, 0]) & (ci == pos[0, 1]),
+                        jnp.uint8(2), maze)
+    painted = jnp.where((ri == pos[1, 0]) & (ci == pos[1, 1]),
+                        jnp.uint8(4), painted)
     return jnp.stack([painted, painted])
 
 
