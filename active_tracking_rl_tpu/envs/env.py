@@ -54,7 +54,10 @@ def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, jax.Array]:
         done=jnp.bool_(False),
         c_reward=jnp.zeros((cfg.num_agents,), jnp.float32),
         c_collision=jnp.zeros((cfg.num_agents,), jnp.int32),
-        dist=jnp.sum(jnp.abs(pos[0] - pos[1])).astype(jnp.float32),
+        # Euclidean, matching step's d (track_1v1.py:96) — the reference
+        # computes no distance at reset, so this field only needs internal
+        # consistency with step.
+        dist=jnp.sqrt(jnp.sum((pos[1] - pos[0]).astype(jnp.float32) ** 2)),
     )
     return state, observe_mod.observe(cfg, state.maze, state.pos)
 
@@ -142,7 +145,14 @@ class TrackEnv:
             return self.reset_batch(key, n)
         chunk = -(-n // num_chunks)
         padded = num_chunks * chunk
-        keys = jax.random.split(key, padded).reshape(num_chunks, chunk, -1)
+        # split exactly n keys (the same stream reset_batch would use) and
+        # pad the key ARRAY — padding rows are discarded work, so chunked
+        # and unchunked resets are bit-identical for the first n rows.
+        keys = jax.random.split(key, n)
+        if padded > n:
+            keys = jnp.concatenate(
+                [keys, jnp.zeros((padded - n,) + keys.shape[1:], keys.dtype)])
+        keys = keys.reshape(num_chunks, chunk, -1)
         state, obs = jax.lax.map(
             lambda ks: jax.vmap(self.reset)(ks), keys)
         return jax.tree_util.tree_map(

@@ -179,8 +179,11 @@ def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
 
 
 #: safety cap on fast-sweeping rounds (each round handles 2 more direction
-#: alternations of the shortest path; 64 covers any 94x94 serpentine).
-_MAX_ROUNDS = 64
+#: alternations of the shortest path). 128 gives 2x headroom over the
+#: theoretical worst case for the default cap (flood_iters=256 -> up to
+#: ~128 path segments -> ~65 rounds); the loop exits early on convergence,
+#: so typical cost is unchanged.
+_MAX_ROUNDS = 128
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret", "variant"))

@@ -75,6 +75,10 @@ def make_eval_fn(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
             # so uncertainty could not be recomputed post-hoc)
             "ep_returns": ep_ret,
             "ep_lens": ep_len,
+            # the evaluator's own success mask (eps_len >= max_steps,
+            # gym_eval.py:114-116) so callers never re-derive it against a
+            # possibly different hardcoded max_steps
+            "ep_success": success,
         }
 
     return eval_fn

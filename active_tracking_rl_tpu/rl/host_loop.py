@@ -242,6 +242,11 @@ class HostTrainer:
                                         self.action_high)
             else:
                 a_env = a_host
+            if not self.two_player:
+                # Single-agent pools expect per-env actions of the env's own
+                # Box/Discrete shape, not a length-1 agent list — the
+                # reference squeezes before env.step (player_util.py:40).
+                a_env = a_env[:, 0]
             obs, r, done, _ = self.pool.step(a_env)
             r = np.asarray(r, np.float32)
             if r.ndim == 1:            # single-agent pools return (B,)

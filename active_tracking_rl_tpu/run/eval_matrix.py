@@ -66,17 +66,20 @@ def main(argv=None):
         model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
         base = model.init(jax.random.PRNGKey(args.seed))
         params = load_params(base, None, tracker_path, target_path)
-        rets, lens, per_seed = [], [], []
+        rets, lens, succs, per_seed = [], [], [], []
         for s in range(args.eval_seeds):
             ev = evaluator(params, jax.random.PRNGKey(args.seed + 101 * s))
             rets.append(ev["ep_returns"][:, 0])
             lens.append(ev["ep_lens"])
+            succs.append(ev["ep_success"])
             per_seed.append({"R_mean": round(float(ev["R_mean"][0]), 2),
                              "S_rate": round(float(ev["S_rate"]), 3)})
         rets = np.concatenate(rets)
         lens = np.concatenate(lens)
         n = len(rets)
-        succ = int((lens >= 500).sum())
+        # the evaluator's own per-episode success mask, so S_rate here always
+        # agrees with the eval_fn regardless of its max_steps setting
+        succ = int(np.concatenate(succs).sum())
         # 1.96 * sem: 95% normal CI on the mean return over pooled episodes
         row = {"R_mean": round(float(rets.mean()), 2),
                "R_std": round(float(rets.std()), 2),

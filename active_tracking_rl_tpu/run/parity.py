@@ -143,6 +143,17 @@ def cross_check(env_id: str, steps: int = 200, seed: int = 0,
     seed_fn = np.random.seed
     if rng_patch:
         np.random.seed = lambda *a, **kw: None  # defeat OS reseeding
+    # The reference's own code trips a NumPy 1.25 DeprecationWarning on
+    # every step (track_1v1.py:87 int(action[i]) on a 0-d-able array).
+    # Filter exactly that one, scoped to this call, so real warnings from
+    # OUR code stay visible.
+    import contextlib
+    import warnings
+    ctx = contextlib.ExitStack()
+    ctx.enter_context(warnings.catch_warnings())
+    warnings.filterwarnings(
+        "ignore", category=DeprecationWarning,
+        message="Conversion of an array with ndim > 0 to a scalar")
     try:
         env = gym.make(env_id)
         obs = env.reset()
@@ -204,6 +215,7 @@ def cross_check(env_id: str, steps: int = 200, seed: int = 0,
         return ok
     finally:
         np.random.seed = seed_fn
+        ctx.close()
 
 
 def main(argv=None):

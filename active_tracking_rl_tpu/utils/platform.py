@@ -29,11 +29,16 @@ def early_platform_setup(argv: "list[str] | None" = None) -> None:
     argv = sys.argv if argv is None else argv
 
     def flag(name, cast):
-        if name in argv:
-            i = argv.index(name)
-            if i + 1 < len(argv):
+        # accept both argparse spellings: '--flag value' and '--flag=value'
+        for i, tok in enumerate(argv):
+            raw = None
+            if tok == name and i + 1 < len(argv):
+                raw = argv[i + 1]
+            elif tok.startswith(name + "="):
+                raw = tok[len(name) + 1:]
+            if raw is not None:
                 try:
-                    return cast(argv[i + 1])
+                    return cast(raw)
                 except ValueError:
                     return None
         return None
