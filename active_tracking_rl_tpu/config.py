@@ -213,6 +213,13 @@ class TrainConfig:
     #: bfloat16 matmul/conv inputs in the model (f32 params, f32 heads) —
     #: forwarded into NetConfig.bf16 by the trainer CLI.
     bf16: bool = False
+    #: rematerialize the model forward inside the rollout scan: the backward
+    #: pass recomputes encoder/RNN intermediates from the (uint8) frame
+    #: stack instead of stacking full-precision residuals per scan step —
+    #: the residual-stacking dynamic-update-slices were ~25% of core
+    #: self-time in the round-4 xprof (XPROF_SUMMARY.json). Bit-identical
+    #: gradients (pure recomputation), so this is a pure perf knob.
+    remat: bool = False
 
 
 # README-reproducing presets (README.md:52,63,67,71,97,104).

@@ -164,9 +164,13 @@ class TrackEnv:
                   pool_ptr: jax.Array):
         """Swap terminated rows for fresh pool rows.
 
-        Each done row consumes the next pool entry (wrapping — the pool is
-        refreshed with new PRNG keys every learner iteration, so wrap reuse
-        only happens when terminations exceed pool size within one rollout).
+        Each done row consumes the next pool entry, wrapping modulo the
+        pool size. Reuse of a pool row therefore happens exactly when
+        cumulative consumption since the pool was generated exceeds the
+        pool size — within a single rollout at high termination rates, or
+        across a `--pool-refresh` window (callers thread the returned
+        pointer between rollouts, rl/rollout.py, so window consumption
+        walks the whole pool rather than re-reading its front).
         Returns (state', obs', pool_ptr').
 
         `pool_ptr` selects the consumption scheme:

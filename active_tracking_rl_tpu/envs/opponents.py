@@ -52,16 +52,31 @@ def ram_tape(cfg: EnvConfig, key: jax.Array) -> jax.Array:
     plan0 = jax.random.randint(ki1, (_MAX_BURST,), 0, na, jnp.int8)
     len0 = jax.random.randint(ki2, (), 1, _MAX_BURST + 1, jnp.int32)
 
-    def tick(carry, k):
-        plan, plan_len, a_i = carry
+    # Presample every per-tick draw OUTSIDE the scan (identical key
+    # derivation per tick -> identical values, one batched threefry instead
+    # of 500 tiny in-loop ones; the 500-tick serial scan is the reset-pool
+    # bottleneck, see nav_tape).
+    keys = jax.random.split(k_scan, cfg.tape_len)
+
+    def draws(k):
         kc, ka, kn, kp = jax.random.split(k, 4)
-        action = plan[a_i]
+        return (jax.random.randint(kc, (), 0, 2),
+                jax.random.randint(ka, (), 0, na, jnp.int8),
+                jax.random.randint(kn, (), 1, _MAX_BURST + 1, jnp.int32),
+                jax.random.randint(kp, (_MAX_BURST,), 0, na, jnp.int8))
+
+    xs = jax.vmap(draws)(keys)
+
+    slot = jnp.arange(_MAX_BURST, dtype=jnp.int32)
+
+    def tick(carry, x):
+        plan, plan_len, a_i = carry
+        coin, burst_action, n, rand_plan = x
+        # one-hot select, not plan[a_i]: a vmapped indexed read lowers to a
+        # sequential per-row gather loop on TPU (see nav_tape)
+        action = jnp.where(slot == a_i, plan, 0).max()
         a_next = a_i + 1
         regen = a_next >= plan_len
-        coin = jax.random.randint(kc, (), 0, 2)
-        n = jax.random.randint(kn, (), 1, _MAX_BURST + 1, jnp.int32)
-        burst_action = jax.random.randint(ka, (), 0, na, jnp.int8)
-        rand_plan = jax.random.randint(kp, (_MAX_BURST,), 0, na, jnp.int8)
         new_plan = jnp.where(coin == 0,
                              jnp.full((_MAX_BURST,), 1, jnp.int8) * burst_action,
                              rand_plan)
@@ -71,8 +86,7 @@ def ram_tape(cfg: EnvConfig, key: jax.Array) -> jax.Array:
         a_i = jnp.where(regen, 0, a_next)
         return (plan, plan_len, a_i), action
 
-    keys = jax.random.split(k_scan, cfg.tape_len)
-    _, tape = jax.lax.scan(tick, (plan0, len0, jnp.int32(0)), keys)
+    _, tape = jax.lax.scan(tick, (plan0, len0, jnp.int32(0)), xs)
     return tape
 
 
@@ -144,6 +158,7 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
     k_cand, k_scan = jax.random.split(key)
     candidates, field_idx, fields = nav_candidates(cfg, k_cand, maze, first_goal)
     wall = maze != 0
+    s = maze.shape[-1]
 
     # Precompute the greedy-descent action per (field, cell) ONCE,
     # vectorized: per tick the action is then a single gather instead of 4
@@ -158,64 +173,105 @@ def nav_tape(cfg: EnvConfig, key: jax.Array, maze: jax.Array,
     # which at large reset batches (vmapped rows) overflows HBM; the
     # running compare keeps peak memory at one shifted copy. Strict `<`
     # preserves the reference's first-min tie-break (action order 0<1<2<3).
+    # A per-cell wall bitmask (bit a = wall at cell+delta_a) is built in the
+    # same pass so the walk's collision test needs no separate maze gather.
     padded = jnp.pad(fields, ((0, 0), (1, 1), (1, 1)), constant_values=INF)
+    wpad = jnp.pad(wall, 1, constant_values=True)
     best = jnp.full(fields.shape, INF, fields.dtype)
-    amap = jnp.zeros(fields.shape, jnp.int8)
+    amap = jnp.zeros(fields.shape, jnp.int16)
+    wmask = jnp.zeros((s, s), jnp.int16)
     for a in range(na):
         dr, dc = deltas_py[a]
         shifted = jax.lax.dynamic_slice(padded, (0, 1 + dr, 1 + dc),
                                         fields.shape)
         take = shifted < best
-        amap = jnp.where(take, jnp.int8(a), amap)
+        amap = jnp.where(take, jnp.int16(a), amap)
         best = jnp.where(take, shifted, best)
+        wsh = jax.lax.dynamic_slice(wpad, (1 + dr, 1 + dc), (s, s))
+        wmask = wmask | (wsh.astype(jnp.int16) << a)
 
-    def tick(carry, k):
-        pos, goal_ptr, goal_cell, cur_field, remaining, planb = carry
+    # 500 sequential ticks dominate reset-pool generation; the tick body is
+    # arranged to minimize per-tick memory ops:
+    #   * distances are read straight from the flood output (one strided
+    #     (Gf,)-slice per tick — transposing them into a cell-major table
+    #     costs more to BUILD (a full extra copy of the (Gf,S,S) block per
+    #     row, ~17 ms/512 rows VMEM-write in the profile) than the strided
+    #     read costs in-loop);
+    #   * greedy action per field + wall bitmask ARE packed cell-major, as
+    #     int8 (17 bytes/cell): one contiguous slice per tick;
+    #   * per-try field lookups are arithmetic, in-register (6,)-selects
+    #     are one-hot compare+sums, and the move delta is a lane-compare
+    #     sum against the DELTAS table — no nested gathers;
+    #   * planB actions are presampled outside the scan (same keys, same
+    #     draws). All bit-exact: tests/test_opponents.py + golden fixtures.
+    # (A dense one-hot-matmul row read was tried and is 9x SLOWER here —
+    # unlike the rollout crop it would re-read the whole table every one
+    # of the 500 ticks.)
+    table_a = jnp.concatenate([
+        amap.astype(jnp.int8).transpose(1, 2, 0).reshape(s * s, gf),
+        wmask.astype(jnp.int8).reshape(s * s, 1),
+    ], axis=1)                                       # (S*S, Gf+1) i8
+    keys = jax.random.split(k_scan, cfg.tape_len)
+    rand_all = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, na, jnp.int8))(keys)
+    lane = jnp.arange(gf, dtype=jnp.int32)
+    try_off = jnp.arange(_RETRIES, dtype=jnp.int32)
+    arange = jnp.arange(na, dtype=jnp.int32)
+    d_row = DELTAS[:na, 0]
+    d_col = DELTAS[:na, 1]
+    rpf = cfg.target_mode == "RPF"
+
+    def tick(carry, rand_a):
+        pos, goal_ptr, cur_field, remaining, planb = carry
         # Exhaustion-only replan: the reference's goal-reached test is dead
         # code (navigator.py:65-70 returns None for numpy goals).
         need = remaining <= 0
 
-        # --- replan (navigator.py:15-38) ---
-        # One vectorized (Gf,) gather of every field's distance at pos, then
-        # the 6-candidate retry works on in-register values. (A cell-major
-        # (S,S,Gf) layout was tried and is NOT faster — the 512-tick scan is
-        # at its serial-dependency floor, not gather-bandwidth bound.)
         dists_all = jax.lax.dynamic_slice(
-            fields, (0, pos[0], pos[1]), (gf, 1, 1))[:, 0, 0]   # (Gf,)
-        try_idx = (goal_ptr + jnp.arange(_RETRIES, dtype=jnp.int32)) % g
-        cand = candidates[try_idx]                        # (6, 2)
-        fidx = field_idx[try_idx]                         # (6,)
-        dists = dists_all[fidx]                           # (6,)
+            fields, (0, pos[0], pos[1]), (gf, 1, 1))[:, 0, 0]  # (Gf,) i16
+        row_a = jax.lax.dynamic_slice(
+            table_a, (pos[0] * s + pos[1], 0), (1, gf + 1))[0]
+        amap_row = row_a[:gf]                             # (Gf,) i8
+        wbits = row_a[gf].astype(jnp.int32)
+
+        # --- replan (navigator.py:15-38) ---
+        try_idx = (goal_ptr + try_off) % g                # (6,)
+        fidx = (1 + try_idx) % 4 if rpf else try_idx      # == field_idx[try_idx]
+        onehot = lane[None, :] == fidx[:, None]           # (6, Gf)
+        dists = jnp.where(onehot, dists_all[None, :], INF).min(-1)  # (6,)
         ok = (dists >= 1) & (dists < INF)
         any_ok = ok.any()
         first = jnp.argmax(ok)
+        m6 = try_off == jnp.where(any_ok, first, _RETRIES - 1)
         consumed = jnp.where(any_ok, first + 1, _RETRIES)
-        r_goal_cell = jnp.where(any_ok, cand[first], cand[_RETRIES - 1])
-        r_field = jnp.where(any_ok, fidx[first], fidx[_RETRIES - 1])
-        r_remaining = jnp.where(any_ok, dists[first].astype(jnp.int32),
+        r_field = jnp.where(m6, fidx, 0).sum()
+        r_remaining = jnp.where(any_ok,
+                                jnp.where(m6, dists, 0).sum().astype(jnp.int32),
                                 jnp.int32(_PLANB_LEN))
         goal_ptr = jnp.where(need, goal_ptr + consumed, goal_ptr)
-        goal_cell = jnp.where(need, r_goal_cell, goal_cell)
         cur_field = jnp.where(need, r_field, cur_field)
         remaining = jnp.where(need, r_remaining, remaining)
         planb = jnp.where(need, ~any_ok, planb)
 
-        # --- act: one gather from the precomputed action map ---
-        greedy = amap[cur_field, pos[0], pos[1]]
-        rand_a = jax.random.randint(k, (), 0, na, jnp.int8)
+        # --- act: select the current field's lane from the packed row
+        # (single non-negative lane survives the mask, so max == select) ---
+        greedy = jnp.where(lane == cur_field, amap_row, 0).max()
         action = jnp.where(planb, rand_a, greedy)
 
         # --- move (track_1v1.py:281-285: wall -> stay) ---
-        nxt = pos + DELTAS[action]
-        hit = wall[nxt[0], nxt[1]]
+        a32 = action.astype(jnp.int32)
+        onea = arange == a32                              # (na,)
+        delta = jnp.stack([jnp.where(onea, d_row, 0).sum(),
+                           jnp.where(onea, d_col, 0).sum()])
+        nxt = pos + delta
+        hit = ((wbits >> a32) & 1) == 1
         pos = jnp.where(hit, pos, nxt)
         remaining = remaining - 1
-        return (pos, goal_ptr, goal_cell, cur_field, remaining, planb), action
+        return (pos, goal_ptr, cur_field, remaining, planb), action
 
-    init = (spawn, jnp.int32(0), candidates[0], jnp.int32(0),
+    init = (spawn, jnp.int32(0), jnp.int32(0),
             jnp.int32(0), jnp.bool_(False))
-    keys = jax.random.split(k_scan, cfg.tape_len)
-    _, tape = jax.lax.scan(tick, init, keys)
+    _, tape = jax.lax.scan(tick, init, rand_all)
     return tape
 
 

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 INF32 = 16000  # plain int: jnp scalars would be captured consts in the kernel
 
 #: goal-field block per kernel program; G is blocked by this.
-_G_BLOCK = 8
+_G_BLOCK = 16
 
 
 #: convergence-check cadence: run this many sweeps, then compare against the
@@ -81,8 +81,8 @@ def _relax_kernel(iters: int, maze_ref, d0_ref, out_ref):
     out_ref[:] = d
 
 
-def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref,
-                  dtype=jnp.int32):
+def _sweep_kernel(max_rounds: int, cap: int, gb: int, maze_ref, goals_ref,
+                  out_ref, dtype=jnp.int32):
     """Fast-sweeping variant: per round, Gauss-Seidel directional passes
     (rows fwd/bwd, cols fwd/bwd), each a LOG-DEPTH min-plus prefix scan
     implemented with power-of-two `pltpu.roll` steps — so one round
@@ -97,6 +97,20 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref,
     c' = min(c_b, c_a + k_b), k' = sat(k_a + k_b). Applying the composed
     prefix to x = INF yields exactly the in-row one-directional BFS update.
 
+    The k side of the composition depends only on the wall pattern, NOT on
+    the evolving field — so the whole k-chain (one (1,S,S) plane per
+    direction per doubling level, edge lanes folded in as INF) is
+    precomputed once before the convergence loop. The in-loop step is then
+    just c = min(c, roll(c) + K'), 3 vector ops per level instead of ~8
+    (edge arrivals: garbage + INF saturates past `inf` and is clamped by
+    the running min, exactly reproducing the old explicit edge mask).
+
+    Goal seeds are built IN-kernel from an SMEM (Gb,2) goal list rather
+    than streamed in as (G,S,S) initial fields — saves writing+reading the
+    full field block through HBM per call (the profile's biggest non-sweep
+    cost). An out-of-range goal (e.g. -1,-1) yields an all-INF field
+    (used for block padding).
+
     `cap`: distances beyond this are mapped to INF afterwards, matching the
     iteration-capped relaxation semantics (paths longer than flood_iters
     count as unreachable -> navigator planB, envs/opponents.py).
@@ -104,39 +118,55 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref,
     # All masks as 0/1 integer arithmetic: captured (1,S,S) boolean vectors
     # trip a Mosaic relayout bug ("non-singleton logical dimension is
     # replicated in destination but not in source" on vector<1xSxSxi1>).
-    # `dtype=int16` halves VMEM traffic; all quantities fit: INF=16000 and
-    # the saturating adds cap at 2*INF=32000 < int16 max.
     dt = dtype
     inf = jnp.asarray(INF32, dt)
     wall = jnp.minimum(maze_ref[:].astype(dt), 1)[None, :, :]
-    s0, s1 = d0_ref.shape[1], d0_ref.shape[2]
+    s0, s1 = out_ref.shape[1], out_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s0, s1), 2)
     kstep = jnp.asarray(1, dt) + wall * (inf - jnp.asarray(1, dt))
 
-    def scan_dir(d, axis, reverse):
+    def kchain(axis, reverse):
+        """Precompute K'_j = (k at doubling level j, edge lanes -> INF)."""
         n = s0 if axis == 1 else s1
         idx = rows if axis == 1 else cols
-        c, k = d, kstep
+        k = kstep
+        out = []
         shift = 1
-        while shift < n:   # static python loop: log2(n) steps, unrolled
+        while shift < n:
             if reverse:
-                arr_c = pltpu.roll(c, n - shift, axis=axis)
                 arr_k = pltpu.roll(k, n - shift, axis=axis)
                 # edge = idx >= n - shift, as a 0/1 integer mask (see above)
                 m = jnp.clip(idx - (n - shift) + 1, 0, 1).astype(dt)
             else:
-                arr_c = pltpu.roll(c, shift, axis=axis)
                 arr_k = pltpu.roll(k, shift, axis=axis)
                 # edge = idx < shift
                 m = jnp.clip(shift - idx, 0, 1).astype(dt)
-            # identity element at the edge: (c, k) = (INF, 0)
-            arr_c = jnp.maximum(arr_c, m * inf)          # m=1 -> INF
-            arr_k = arr_k * (jnp.asarray(1, dt) - m)     # m=1 -> 0
-            c = jnp.minimum(c, jnp.minimum(arr_c + k, inf))
+            out.append(jnp.maximum(k, m * inf))          # K'_j
+            arr_k = arr_k * (jnp.asarray(1, dt) - m)     # identity at edge
             k = jnp.minimum(k + arr_k, inf)
             shift *= 2
-        return jnp.maximum(c, wall * inf)   # walls pinned to INF
+        return out
+
+    chains = {(axis, rev): kchain(axis, rev)
+              for axis in (1, 2) for rev in (False, True)}
+
+    def scan_dir(d, axis, reverse):
+        # Two ops per level (roll+add, min): the explicit min(..., inf)
+        # clamp is redundant — c starts <= INF and only decreases, and
+        # arrivals cap at 2*INF = 32000 (no i32 overflow) — and walls need
+        # no re-pinning because k = INF at walls makes every arrival into a
+        # wall >= INF (d0 already has walls at INF). The kernel is VMEM-
+        # bandwidth-bound, so dropping these two full-block passes is a
+        # direct ~1.5x on the sweep loop.
+        n = s0 if axis == 1 else s1
+        c = d
+        shift = 1
+        for kp in chains[(axis, reverse)]:
+            r = (n - shift) if reverse else shift
+            c = jnp.minimum(c, pltpu.roll(c, r, axis=axis) + kp)
+            shift *= 2
+        return c
 
     def one_round(d):
         d = scan_dir(d, 1, False)
@@ -152,9 +182,17 @@ def _sweep_kernel(max_rounds: int, cap: int, maze_ref, d0_ref, out_ref,
         d, _, i = c
         return one_round(d), d, i + 1
 
-    d0 = d0_ref[:].astype(dt)
+    # in-kernel goal seeding (SMEM scalars -> broadcast compares)
+    planes = []
+    for gi in range(gb):
+        is_goal = ((rows == goals_ref[gi, 0]) & (cols == goals_ref[gi, 1])
+                   & (wall == 0))
+        planes.append(jnp.where(is_goal, jnp.asarray(0, dt), inf))
+    d0 = jnp.concatenate(planes, axis=0)
+
     d, _, _ = jax.lax.while_loop(cond, body, (one_round(d0), d0, jnp.int32(1)))
-    out_ref[:] = jnp.where(d > jnp.asarray(cap, dt), inf, d).astype(jnp.int32)
+    out_ref[:] = jnp.where(d > jnp.asarray(cap, dt), inf, d).astype(
+        out_ref.dtype)
 
 
 def _init_fields(maze: jax.Array, goals: jax.Array) -> jax.Array:
@@ -198,26 +236,45 @@ def flood_fields_pallas(maze: jax.Array, goals: jax.Array,
     (fast sweeping — log-depth directional scans, far fewer rounds).
     """
     g = goals.shape[0]
-    d0 = _init_fields(maze, goals)
     gb = min(g, _G_BLOCK)
     pad = (-g) % gb
+    gp = g + pad
+    s = maze.shape[-1]
+
+    if variant in ("sweep", "sweep16"):
+        # sweep kernels seed goals in-kernel from SMEM ((-1,-1) pad rows
+        # match no cell -> all-INF field, same as the old INF d0 padding).
+        # sweep16: int16 carry halves VMEM traffic and is oracle-exact
+        # (values cap at 2*INF = 32000 < int16 max), but current Mosaic
+        # cannot lower 16-bit pltpu.roll — interpret-mode only.
+        goals_p = goals
+        if pad:
+            goals_p = jnp.concatenate(
+                [goals, jnp.full((pad, 2), -1, goals.dtype)], axis=0)
+        kernel = functools.partial(
+            _sweep_kernel, _MAX_ROUNDS, iters, gb,
+            dtype=jnp.int16 if variant == "sweep16" else jnp.int32)
+        out = pl.pallas_call(
+            kernel,
+            grid=(gp // gb,),
+            in_specs=[
+                pl.BlockSpec((s, s), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, 2), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((gb, s, s), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gp, s, s), jnp.int16),
+            interpret=interpret,
+        )(maze, goals_p)
+        return out[:g]
+
+    d0 = _init_fields(maze, goals)
     if pad:
         d0 = jnp.concatenate(
             [d0, jnp.full((pad,) + d0.shape[1:], INF32)], axis=0)
-    gp = d0.shape[0]
-    s = maze.shape[-1]
-
-    if variant == "sweep":
-        kernel = functools.partial(_sweep_kernel, _MAX_ROUNDS, iters)
-    elif variant == "sweep16":
-        # int16 carry halves VMEM traffic and is oracle-exact (values cap at
-        # 2*INF = 32000 < int16 max), but current Mosaic cannot lower it:
-        # "not implemented: Rotate with non-32-bit data" (pltpu.roll).
-        # Interpret-mode only until Mosaic grows 16-bit rotate support.
-        kernel = functools.partial(_sweep_kernel, _MAX_ROUNDS, iters,
-                                   dtype=jnp.int16)
-    else:
-        kernel = functools.partial(_relax_kernel, iters)
+    kernel = functools.partial(_relax_kernel, iters)
     out = pl.pallas_call(
         kernel,
         grid=(gp // gb,),

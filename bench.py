@@ -110,7 +110,8 @@ def measure_reference_emulation(seconds: float = 10.0) -> dict:
 def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
               env_id: str = "Track2D-BlockPartialNav-v0",
               network: str = "maze-lstm", train_mode: int = 0,
-              bf16: bool = False, pool_refresh: int = 1):
+              bf16: bool = False, pool_refresh: int = 1,
+              remat: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -128,7 +129,8 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
 
     tcfg = TrainConfig(env_id=env_id, num_envs=num_envs,
                        reset_pool=max(num_envs // 8, 64),
-                       num_steps=num_steps, train_mode=train_mode)
+                       num_steps=num_steps, train_mode=train_mode,
+                       remat=remat)
     aux = "reward" if "tat" in network else "none"
     ncfg = NetConfig.from_name(network, aux=aux)
     if bf16:
@@ -143,20 +145,22 @@ def run_bench(num_envs: int = 4096, num_steps: int = 20, iters: int = 10,
                                  external_pool=amortized),
                  donate_argnums=(0, 1, 2))
     if amortized:
-        from active_tracking_rl_tpu.rl.learner import make_pool_fn
+        from active_tracking_rl_tpu.rl.learner import init_pool_ptr, make_pool_fn
         pool_fn = jax.jit(make_pool_fn(env, tcfg))
     p, o, c = state.params, state.opt_state, state.carry
     mode = jnp.int32(train_mode if train_mode >= 0 else -1)
 
     def step(it, p, o, c):
         if amortized:
-            nonlocal pool
+            nonlocal pool, pool_ptr
             if it % pool_refresh == 0:
                 pool = pool_fn(jax.random.fold_in(jax.random.PRNGKey(7), it))
-            return ts(p, o, c, mode, pool)
+                pool_ptr = init_pool_ptr()
+            p, o, c, m, pool_ptr = ts(p, o, c, mode, (*pool, pool_ptr))
+            return p, o, c, m
         return ts(p, o, c, mode)
 
-    pool = None
+    pool = pool_ptr = None
     # warmup / compile
     for i in range(2):
         p, o, c, m = step(i % pool_refresh, p, o, c)
@@ -180,6 +184,10 @@ def main():
     ap.add_argument("--network", default="maze-lstm")
     ap.add_argument("--train-mode", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable rollout-scan rematerialization (remat is "
+                         "the default: bit-identical grads, fewer stacked "
+                         "residuals -> faster step; see RESULTS.md)")
     ap.add_argument("--pool-refresh", type=int, default=1,
                     help="K=1 (default): exact reference regenerate-per-reset "
                          "semantics, apples-to-apples with the measured "
@@ -226,7 +234,8 @@ def main():
     value = run_bench(num_envs=args.num_envs, iters=args.iters,
                       env_id=args.env, network=args.network,
                       train_mode=args.train_mode, bf16=args.bf16,
-                      pool_refresh=args.pool_refresh)
+                      pool_refresh=args.pool_refresh,
+                      remat=not args.no_remat)
     out = {
         "metric": "env_steps_per_s_per_chip",
         "value": round(value, 1),

@@ -81,7 +81,9 @@ def main():
     state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
     from active_tracking_rl_tpu.rl.learner import make_pool_fn
     from active_tracking_rl_tpu.rl.rollout import run_rollout
+    from active_tracking_rl_tpu.rl.learner import init_pool_ptr
     pool = jax.jit(make_pool_fn(env, tcfg))(jax.random.PRNGKey(9))
+    pool = (*pool, init_pool_ptr())
     ts_ext = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
                                      external_pool=True))
     mode = jnp.int32(0)
@@ -90,7 +92,7 @@ def main():
         lambda: ts_ext(state.params, state.opt_state, state.carry, mode, pool))
 
     rollout_fwd = jax.jit(lambda p, c: run_rollout(model, env, tcfg, p, c,
-                                                   pool=pool))
+                                                   pool=pool[:2]))
     core["rollout_fwd_s"] = timeit(lambda: rollout_fwd(state.params,
                                                        state.carry))
     core["backward_s"] = core["core_step_s"] - core["rollout_fwd_s"]

