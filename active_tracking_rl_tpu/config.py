@@ -62,6 +62,12 @@ class EnvConfig:
     #: distance-field backend: "auto" (Pallas kernel on TPU, XLA elsewhere),
     #: "xla", or "pallas" (see envs/distance.py:distance_fields_backend).
     flood_backend: str = "auto"
+    #: TRAINING AID for Full-obs configs (round-5 investigation, RESULTS.md
+    #: §1.9): cyclically roll each agent's full-map observation so the
+    #: observer sits at the center cell. NOT reference behavior — off for
+    #: all registered ids, cross-checks, and golden fixtures; enable with
+    #: the trainer's --center-full-obs.
+    center_full_obs: bool = False
 
     # ----- derived static geometry -----
     @property

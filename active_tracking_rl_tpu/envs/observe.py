@@ -96,6 +96,28 @@ def full_obs(cfg: EnvConfig, maze_padded: jax.Array, pos: jax.Array) -> jax.Arra
                         jnp.uint8(2), maze)
     painted = jnp.where((ri == pos[1, 0]) & (ci == pos[1, 1]),
                         jnp.uint8(4), painted)
+    if cfg.center_full_obs:
+        # Egocentric centering — a TRAINING AID, not reference behavior
+        # (off for all 72 registered ids and every cross-check): cyclically
+        # roll each agent's copy of the painted map so the observer sits at
+        # the center cell. Full-obs training collapses without it (round-4
+        # investigation, RESULTS.md §1.9): the policy must first localize
+        # two single-pixel agents in an 82x82 frame. Centering removes the
+        # localization problem — the same egocentricity the 13x13 partial
+        # crop has — while keeping full-map visibility. Implemented as
+        # one-hot PERMUTATION matmuls (bf16 exact for one-hot x values
+        # 0..6): a vmapped jnp.roll lowers to per-row gather loops on TPU.
+        c = s // 2
+        ai = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        m = painted.astype(jnp.bfloat16)
+
+        def center(i):
+            rows = (ji == jnp.mod(ai + pos[i, 0] - c, s)).astype(jnp.bfloat16)
+            cols = (ji == jnp.mod(ai + pos[i, 1] - c, s)).astype(jnp.bfloat16)
+            return (rows @ m @ cols.T).astype(jnp.uint8)
+
+        return jnp.stack([center(0), center(1)])
     return jnp.stack([painted, painted])
 
 

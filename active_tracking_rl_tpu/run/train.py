@@ -85,6 +85,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul/conv inputs in the model (params "
                         "and heads stay f32)")
+    p.add_argument("--center-full-obs", action="store_true",
+                   help="Full-obs training aid (NOT reference behavior): "
+                        "egocentrically center each agent's full-map "
+                        "observation (envs/observe.py). Applied to the "
+                        "training AND eval env so the policy sees one "
+                        "representation")
     p.add_argument("--no-remat", action="store_true",
                    help="disable rollout-scan rematerialization. Remat is "
                         "on by default: the backward pass recomputes model "
@@ -172,8 +178,14 @@ def main(argv=None):
         log.info(f"{k}: {v}")
 
     ecfg = parse_env_id(tcfg.env_id)
-    env = make_env(tcfg.env_id)
-    env_base = make_env(tcfg.env_base)
+    if args.center_full_obs:
+        ecfg = dataclasses.replace(ecfg, center_full_obs=True)
+        env = make_env(tcfg.env_id, ecfg)
+        env_base = make_env(tcfg.env_base, dataclasses.replace(
+            parse_env_id(tcfg.env_base), center_full_obs=True))
+    else:
+        env = make_env(tcfg.env_id)
+        env_base = make_env(tcfg.env_base)
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
 
     mesh = make_mesh(MeshSpec())

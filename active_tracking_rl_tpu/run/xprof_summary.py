@@ -73,7 +73,9 @@ def capture(num_envs: int, iters: int, env_id: str, network: str,
                                                parse_env_id)
     from active_tracking_rl_tpu.envs.env import TrackEnv
     from active_tracking_rl_tpu.models.dueling import build_model
-    from active_tracking_rl_tpu.rl.learner import (init_learner, make_pool_fn,
+    from active_tracking_rl_tpu.rl.learner import (init_learner,
+                                                   init_pool_ptr,
+                                                   make_pool_fn,
                                                    make_train_step)
 
     tcfg = TrainConfig(env_id=env_id, num_envs=num_envs,
@@ -83,17 +85,18 @@ def capture(num_envs: int, iters: int, env_id: str, network: str,
     env = TrackEnv(ecfg)
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
     state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
-    pool = jax.jit(make_pool_fn(env, tcfg))(jax.random.PRNGKey(9))
+    pool = (*jax.jit(make_pool_fn(env, tcfg))(jax.random.PRNGKey(9)),
+            init_pool_ptr())
     ts = jax.jit(make_train_step(model, env, ncfg, tcfg, opt,
                                  external_pool=True))
     p, o, c = state.params, state.opt_state, state.carry
     mode = jnp.int32(0)
     for _ in range(2):
-        p, o, c, m = ts(p, o, c, mode, pool)
+        p, o, c, m, _ptr = ts(p, o, c, mode, pool)
     jax.block_until_ready(m.loss)
     jax.profiler.start_trace(out_dir)
     for _ in range(iters):
-        p, o, c, m = ts(p, o, c, mode, pool)
+        p, o, c, m, _ptr = ts(p, o, c, mode, pool)
     jax.block_until_ready(m.loss)
     jax.profiler.stop_trace()
     return out_dir

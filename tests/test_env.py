@@ -202,3 +202,30 @@ def test_autoreset_swaps_done_rows():
     np.testing.assert_array_equal(np.array(o2)[1], np.array(pool_obs)[0])
     np.testing.assert_array_equal(np.array(o2)[2], np.array(pool_obs)[1])
     assert int(s2.t[1]) == 0
+
+
+def test_center_full_obs_is_exact_permutation():
+    """--center-full-obs (Full-obs training aid, envs/observe.py): each
+    agent's frame is the cyclic roll of the painted map that puts the
+    observer at the center cell; OFF by default (reference parity holds
+    for all registered ids)."""
+    from active_tracking_rl_tpu.envs.observe import observe
+    cfg = fast_cfg(map_type="Block", target_mode="Adv", obs_type="Full")
+    ccfg = dataclasses.replace(cfg, center_full_obs=True)
+    st, obs_plain = jax.jit(lambda k: reset(cfg, k))(jax.random.PRNGKey(4))
+    obs_c = observe(ccfg, st.maze, st.pos)
+    s = cfg.maze_size
+    c = s // 2
+    plain = np.asarray(obs_plain)
+    cent = np.asarray(obs_c)
+    for i in range(2):
+        pos = np.asarray(st.pos[i])
+        rolled = np.roll(plain[i], (c - pos[0], c - pos[1]), axis=(0, 1))
+        np.testing.assert_array_equal(cent[i], rolled)
+        # the observer sits at the center (its own color unless overlapped)
+        assert cent[i][c, c] in (2, 4)
+    # batched path (the hot path) agrees with the single-row one
+    env_c = TrackEnv(ccfg)
+    stb, obsb = env_c.reset_batch(jax.random.PRNGKey(4), 3)
+    ob0 = observe(ccfg, stb.maze[0], stb.pos[0])
+    np.testing.assert_array_equal(np.asarray(obsb)[0], np.asarray(ob0))
