@@ -29,19 +29,7 @@ def early_platform_setup(argv: "list[str] | None" = None) -> None:
     argv = sys.argv if argv is None else argv
 
     def flag(name, cast):
-        # accept both argparse spellings: '--flag value' and '--flag=value'
-        for i, tok in enumerate(argv):
-            raw = None
-            if tok == name and i + 1 < len(argv):
-                raw = argv[i + 1]
-            elif tok.startswith(name + "="):
-                raw = tok[len(name) + 1:]
-            if raw is not None:
-                try:
-                    return cast(raw)
-                except ValueError:
-                    return None
-        return None
+        return parse_flag(argv, name, cast)
 
     respect_jax_platforms(num_cpu_devices=flag("--local-devices", int))
     # jax.distributed.initialize must ALSO run before the backend first
@@ -52,6 +40,23 @@ def early_platform_setup(argv: "list[str] | None" = None) -> None:
         from active_tracking_rl_tpu.parallel.mesh import host_init
         host_init(flag("--coordinator", str), nproc,
                   flag("--process-id", int) or 0)
+
+
+def parse_flag(argv, name: str, cast):
+    """Scan raw argv for `name`, accepting both argparse spellings:
+    '--flag value' and '--flag=value'. Returns cast(value) or None."""
+    for i, tok in enumerate(argv):
+        raw = None
+        if tok == name and i + 1 < len(argv):
+            raw = argv[i + 1]
+        elif tok.startswith(name + "="):
+            raw = tok[len(name) + 1:]
+        if raw is not None:
+            try:
+                return cast(raw)
+            except ValueError:
+                return None
+    return None
 
 
 def respect_jax_platforms(num_cpu_devices: int | None = None) -> None:
