@@ -77,9 +77,21 @@ def step(cfg: EnvConfig, state: EnvState,
                    state.tape[state.t].astype(jnp.int32), actions[1])
     acts = jnp.stack([a0, a1])
 
-    # move agents; wall -> stay + collision flag (track_1v1.py:271-285)
+    # move agents; wall -> stay + collision flag (track_1v1.py:271-285).
+    # The wall test reads the maze with one-hot bf16 matmuls (exact for
+    # one-hot selectors x cell values 0..6), the SAME access pattern as
+    # the observation crop (observe.py) — a per-agent indexed gather here
+    # forced XLA to keep a second, differently-laid-out copy of the
+    # (B,94,94) maze inside the rollout scan (two ~10 ms relayout copies
+    # per profiled core, round-5 xprof copy.343/344).
     nxt = state.pos + DELTAS[acts]
-    hit = state.maze[nxt[:, 0] + p, nxt[:, 1] + p] == 1
+    s = state.maze.shape[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (cfg.num_agents, s), 1)
+    r_oh = (j == (nxt[:, 0] + p)[:, None]).astype(jnp.bfloat16)
+    c_oh = (j == (nxt[:, 1] + p)[:, None]).astype(jnp.bfloat16)
+    cell = jnp.einsum("as,st,at->a", r_oh,
+                      state.maze.astype(jnp.bfloat16), c_oh)
+    hit = cell == 1
     pos = jnp.where(hit[:, None], state.pos, nxt)
 
     # rewards (track_1v1.py:94-104); w_p set at reset (track_1v1.py:146-152)

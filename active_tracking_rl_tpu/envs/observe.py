@@ -62,15 +62,23 @@ def partial_obs(cfg: EnvConfig, maze_padded: jax.Array,
     w = cfg.pob_window
     p = cfg.pob_size
 
+    ri = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    center = (ri == p) & (ci == p)
+
     def one(i):
         # pos is unpadded; padded crop origin = pos + p - p = pos.
         crop = _crop_onehot_matmul(maze_padded, pos[i], w)
         j = 1 - i  # the other agent (num_agents == 2)
         rel = pos[j] - pos[i] + p
         crop = _paint_in_crop(crop, rel, 2 + 2 * j, w)
-        # own cell painted last -> own color wins on overlap (track_1v1.py:313)
-        crop = crop.at[p, p].set(jnp.uint8(2 + 2 * i))
-        return crop
+        # own cell painted last -> own color wins on overlap
+        # (track_1v1.py:313). Masked compare, NOT crop.at[p,p].set: the
+        # vmapped .at-update lowers to a full dynamic-update-slice rewrite
+        # of the (B,13,13) buffer per agent per step — with the (13,13)
+        # minor dims tiled to (16,128) that one-pixel write was the
+        # hottest op PAIR in the round-4/5 core xprof (2 x 13% self-time).
+        return jnp.where(center, jnp.uint8(2 + 2 * i), crop)
 
     return jnp.stack([one(0), one(1)])
 

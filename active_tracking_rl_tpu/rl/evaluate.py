@@ -34,13 +34,17 @@ def make_eval_fn(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
         k_env, k_act = jax.random.split(key)
         state, obs = env.reset_batch(k_env, episodes)
         obs_stack = _stack_fill(obs, net_cfg.stack_frames)
+        obs_dims = obs_stack.shape[1:]
         hx = jnp.zeros((episodes, 2, net_cfg.rnn_out), jnp.float32)
         finished = jnp.zeros((episodes,), jnp.bool_)
         ep_ret = jnp.zeros((episodes, 2), jnp.float32)
         ep_len = jnp.zeros((episodes,), jnp.int32)
 
         def step_fn(c, k):
-            state, obs_stack, hx, cx, finished, ep_ret, ep_len = c
+            # the frame stack crosses the scan flat (see rl/rollout.py: a
+            # structured (B,2,k,13,13) carry tiles its minor dims 12x wide)
+            state, obs_flat, hx, cx, finished, ep_ret, ep_len = c
+            obs_stack = obs_flat.reshape((episodes,) + obs_dims)
             obs_f = obs_to_model(obs_stack)
             (values, actions, ent, logp, hx_n, cx_n, rp) = model.step_both(
                 params, obs_f, hx, cx, k, test=True)
@@ -57,11 +61,13 @@ def make_eval_fn(model: DuelingModel, env: TrackEnv, net_cfg: NetConfig,
             hx = pickr(hx_n, hx)
             cx = pickr(cx_n, cx)
             finished = finished | done
-            return (state, obs_stack, hx, cx, finished, ep_ret, ep_len), None
+            return (state, obs_stack.reshape(episodes, -1), hx, cx,
+                    finished, ep_ret, ep_len), None
 
         keys = jax.random.split(k_act, max_steps)
-        (state, obs_stack, hx, cx, finished, ep_ret, ep_len), _ = jax.lax.scan(
-            step_fn, (state, obs_stack, hx, hx, finished, ep_ret, ep_len), keys)
+        (state, obs_flat, hx, cx, finished, ep_ret, ep_len), _ = jax.lax.scan(
+            step_fn, (state, obs_stack.reshape(episodes, -1), hx, hx,
+                      finished, ep_ret, ep_len), keys)
         success = (ep_len >= max_steps).astype(jnp.float32)
         return {
             "R_mean": ep_ret.mean(0),

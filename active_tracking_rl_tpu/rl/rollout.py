@@ -126,7 +126,8 @@ def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,
         pool_state, pool_obs = pool
     kcfg = model.cfg
 
-    def model_step(p, obs_stack, hx, cx, km):
+    def model_step(p, obs_flat, hx, cx, km):
+        obs_stack = obs_flat.reshape(carry.obs_stack.shape)
         return model.step_both(p, obs_to_model(obs_stack), hx, cx, km, test)
 
     if tcfg.remat:
@@ -137,11 +138,22 @@ def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,
         # prevent_cse=False is the documented setting under scan.
         model_step = jax.checkpoint(model_step, prevent_cse=False)
 
+    # The frame stack crosses the scan boundary FLATTENED to (B, 2*k*H*W):
+    # as a (B, 2, k, 13, 13) loop carry, XLA tiles the minor (13, 13) dims
+    # to (16, 128) — a 12x VMEM write amplification that made the two
+    # per-step stack writes the single hottest op pair in the round-4/5
+    # xprof (2 x 12.4% of core self-time, dynamic-update-slice.28/.29).
+    # Flat, the minor dim is 2*k*169 (pads 1.1x) and the write fuses.
+    # Reshapes at the model boundary are logical only; the scan-external
+    # TrainCarry keeps the structured shape (checkpoints unaffected).
+    B = carry.obs_stack.shape[0]
+    obs_dims = carry.obs_stack.shape[1:]
+
     def step_fn(c, key_t):
-        env_state, obs_stack, hx, cx, ptr = c
+        env_state, obs_flat, hx, cx, ptr = c
         km, _ = jax.random.split(key_t)
         (values, actions, entropies, log_probs, hx_n, cx_n,
-         r_pred) = model_step(params, obs_stack, hx, cx, km)
+         r_pred) = model_step(params, obs_flat, hx, cx, km)
         env_state, obs, rewards, done, _ = env.step_batch(
             env_state, actions.astype(jnp.int32))
         ep_return = jnp.where(done[:, None], env_state.c_reward, 0.0)
@@ -149,6 +161,7 @@ def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,
         # auto-reset: swap in fresh pool rows, refill stacks, zero rnn state
         env_state, obs2, ptr = env.autoreset(env_state, obs, done, pool_state,
                                              pool_obs, ptr)
+        obs_stack = obs_flat.reshape((B,) + obs_dims)
         k = obs_stack.shape[2]
         obs_stack = jnp.where(done[:, None, None, None, None],
                               _stack_fill(obs2, k),
@@ -159,15 +172,17 @@ def run_rollout(model: DuelingModel, env: TrackEnv, tcfg: TrainConfig,
         out = (values, log_probs, entropies, rewards, done,
                (r_pred[..., 0] if r_pred is not None else jnp.zeros_like(done, jnp.float32)),
                ep_return, ep_len)
-        return (env_state, obs_stack, hx_n, cx_n, ptr), out
+        return (env_state, obs_stack.reshape(B, -1), hx_n, cx_n, ptr), out
 
     keys = jax.random.split(k_scan, tcfg.num_steps)
     if pool_ptr0 is None:
         pool_ptr0 = (jnp.int32(0) if pool_blocks == 1
                      else jnp.zeros((pool_blocks,), jnp.int32))
-    init = (carry.env_state, carry.obs_stack, carry.hx, carry.cx, pool_ptr0)
-    (env_state, obs_stack, hx, cx, ptr), outs = jax.lax.scan(
+    init = (carry.env_state, carry.obs_stack.reshape(B, -1),
+            carry.hx, carry.cx, pool_ptr0)
+    (env_state, obs_flat, hx, cx, ptr), outs = jax.lax.scan(
         step_fn, init, keys)
+    obs_stack = obs_flat.reshape((B,) + obs_dims)
     (values, log_probs, entropies, rewards, done, r_pred,
      ep_return, ep_len) = outs
     traj = Trajectory(values, log_probs, entropies, rewards, done,

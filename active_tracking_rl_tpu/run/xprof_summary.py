@@ -78,8 +78,10 @@ def capture(num_envs: int, iters: int, env_id: str, network: str,
                                                    make_pool_fn,
                                                    make_train_step)
 
+    # remat=True matches the production trainer/bench default
     tcfg = TrainConfig(env_id=env_id, num_envs=num_envs,
-                       reset_pool=max(num_envs // 8, 64), train_mode=0)
+                       reset_pool=max(num_envs // 8, 64), train_mode=0,
+                       remat=True)
     ncfg = NetConfig.from_name(network, aux="none")
     ecfg = parse_env_id(env_id)
     env = TrackEnv(ecfg)

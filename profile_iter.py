@@ -75,7 +75,7 @@ def main():
     ecfg = parse_env_id(env_id)
     env = TrackEnv(ecfg)
     tcfg = TrainConfig(env_id=env_id, num_envs=NUM_ENVS, reset_pool=POOL,
-                       train_mode=0)
+                       train_mode=0, remat=True)
     ncfg = NetConfig.from_name("maze-lstm", aux="none")
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
     state, opt = init_learner(model, env, ncfg, tcfg, jax.random.PRNGKey(0))
@@ -130,7 +130,7 @@ def main():
 
     @jax.jit
     def autoreset_scan(st, obs, key):
-        ps, po = pool
+        ps, po = pool[0], pool[1]
 
         def f(c, k):
             s, ptr = c

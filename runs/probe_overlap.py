@@ -16,7 +16,11 @@ Writes OVERLAP_PROBE.json. Run on the chip: python runs/probe_overlap.py
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
