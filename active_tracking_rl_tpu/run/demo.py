@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--gif", default="demo.gif")
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--rnn-out", type=int, default=128)
+    p.add_argument("--center-full-obs", action="store_true",
+                   help="feed the policy egocentrically centered Full-obs "
+                        "frames (must match how the checkpoint was trained; "
+                        "envs/observe.py). Rendering still shows the true "
+                        "map")
     args = p.parse_args(argv)
     from active_tracking_rl_tpu.utils.platform import respect_jax_platforms
     respect_jax_platforms()
@@ -38,6 +43,9 @@ def main(argv=None):
     from active_tracking_rl_tpu.rl.checkpoint import load_params
 
     ecfg = parse_env_id(args.env)
+    if args.center_full_obs:
+        import dataclasses
+        ecfg = dataclasses.replace(ecfg, center_full_obs=True)
     ncfg = NetConfig.from_name(args.network, rnn_out=args.rnn_out)
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
     params = load_params(model.init(jax.random.PRNGKey(0)),
@@ -46,7 +54,7 @@ def main(argv=None):
     act = jax.jit(lambda pr, o, h, c, k: model.step_both(pr, o, h, c, k,
                                                          test=True))
 
-    env = GymTrackEnv(args.env, seed=args.seed)
+    env = GymTrackEnv(args.env, cfg=ecfg, seed=args.seed)
     frames = []
     key = jax.random.PRNGKey(args.seed)
     for ep in range(args.episodes):

@@ -35,6 +35,10 @@ def build_argparser():
     p.add_argument("--stack-frames", type=int, default=1)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rnn-out", type=int, default=128)
+    p.add_argument("--center-full-obs", action="store_true",
+                   help="evaluate with the Full-obs egocentric-centering "
+                        "training aid (must match how the checkpoint was "
+                        "trained; envs/observe.py)")
     return p
 
 
@@ -48,7 +52,10 @@ def main(argv=None):
         log.info(f"{k}: {v}")
 
     ecfg = parse_env_id(args.env)
-    env = make_env(args.env)
+    if args.center_full_obs:
+        import dataclasses
+        ecfg = dataclasses.replace(ecfg, center_full_obs=True)
+    env = make_env(args.env, ecfg)
     ncfg = NetConfig.from_name(args.network, rnn_out=args.rnn_out,
                                stack_frames=args.stack_frames)
     model = build_model(ncfg, ecfg.num_actions, ecfg.obs_shape)
