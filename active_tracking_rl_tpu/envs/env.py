@@ -84,7 +84,9 @@ def step(cfg: EnvConfig, state: EnvState,
     # forced XLA to keep a second, differently-laid-out copy of the
     # (B,94,94) maze inside the rollout scan (two ~10 ms relayout copies
     # per profiled core, round-5 xprof copy.343/344).
-    nxt = state.pos + DELTAS[acts]
+    onea = jnp.arange(DELTAS.shape[0])[None, :] == acts[:, None]  # (A, 8)
+    delta = jnp.where(onea[..., None], DELTAS[None], 0).sum(1)    # (A, 2)
+    nxt = state.pos + delta
     s = state.maze.shape[-1]
     j = jax.lax.broadcasted_iota(jnp.int32, (cfg.num_agents, s), 1)
     r_oh = (j == (nxt[:, 0] + p)[:, None]).astype(jnp.bfloat16)
