@@ -119,6 +119,18 @@ def _sweep_kernel(max_rounds: int, cap: int, gb: int, maze_ref, goals_ref,
     # trip a Mosaic relayout bug ("non-singleton logical dimension is
     # replicated in destination but not in source" on vector<1xSxSxi1>).
     dt = dtype
+
+    def roll(x, r, axis):
+        # pltpu.roll cannot lower 16-bit rotates ("Rotate with non-32-bit
+        # data"), but a slice+concat circular shift CAN — equal to
+        # jnp.roll(x, r, axis), verified on-chip. Keep the native rotate
+        # for 32-bit.
+        if x.dtype == jnp.int32:
+            return pltpu.roll(x, r, axis=axis)
+        if axis == 1:
+            return jnp.concatenate([x[:, -r:, :], x[:, :-r, :]], axis=1)
+        return jnp.concatenate([x[:, :, -r:], x[:, :, :-r]], axis=2)
+
     inf = jnp.asarray(INF32, dt)
     wall = jnp.minimum(maze_ref[:].astype(dt), 1)[None, :, :]
     s0, s1 = out_ref.shape[1], out_ref.shape[2]
@@ -135,11 +147,11 @@ def _sweep_kernel(max_rounds: int, cap: int, gb: int, maze_ref, goals_ref,
         shift = 1
         while shift < n:
             if reverse:
-                arr_k = pltpu.roll(k, n - shift, axis=axis)
+                arr_k = roll(k, n - shift, axis)
                 # edge = idx >= n - shift, as a 0/1 integer mask (see above)
                 m = jnp.clip(idx - (n - shift) + 1, 0, 1).astype(dt)
             else:
-                arr_k = pltpu.roll(k, shift, axis=axis)
+                arr_k = roll(k, shift, axis)
                 # edge = idx < shift
                 m = jnp.clip(shift - idx, 0, 1).astype(dt)
             out.append(jnp.maximum(k, m * inf))          # K'_j
@@ -164,7 +176,7 @@ def _sweep_kernel(max_rounds: int, cap: int, gb: int, maze_ref, goals_ref,
         shift = 1
         for kp in chains[(axis, reverse)]:
             r = (n - shift) if reverse else shift
-            c = jnp.minimum(c, pltpu.roll(c, r, axis=axis) + kp)
+            c = jnp.minimum(c, roll(c, r, axis) + kp)
             shift *= 2
         return c
 
@@ -244,9 +256,13 @@ def flood_fields_pallas(maze: jax.Array, goals: jax.Array,
     if variant in ("sweep", "sweep16"):
         # sweep kernels seed goals in-kernel from SMEM ((-1,-1) pad rows
         # match no cell -> all-INF field, same as the old INF d0 padding).
-        # sweep16: int16 carry halves VMEM traffic and is oracle-exact
-        # (values cap at 2*INF = 32000 < int16 max), but current Mosaic
-        # cannot lower 16-bit pltpu.roll — interpret-mode only.
+        # sweep16: int16 carry would halve VMEM traffic (the kernel's
+        # bound) and is oracle-exact (values cap at 2*INF = 32000 <
+        # int16 max), but remains interpret-mode only: beyond the known
+        # 16-bit pltpu.roll gap (worked around via slice+concat, see
+        # roll()), this image's Mosaic toolchain fails to compile even a
+        # trivial i16 while-loop carry or a (1,S,S) i16 broadcast
+        # (probed round 5; remote-compile HTTP 500 with no diagnostics).
         goals_p = goals
         if pad:
             goals_p = jnp.concatenate(
